@@ -162,13 +162,15 @@ def tokenize(sent: str) -> List[str]:
         tok = m.group()
         if kind == "quoted":
             tok = m.group("mark") + " " + m.group("head") + m.group("tail")
-        elif kind == "heb":
+        elif kind in ("heb", "legal"):
+            # reference routes both rules to handleHeb (utils/tokenizer.py:154-161,181):
+            # reorder a non-acronym quote mark, split internal dashes. Note the
+            # legal rule shadows the numeric rule, so the %-split handler is
+            # unreachable for plain numerics in the reference too.
             qm = _QUOTE_IN_TOKEN.match(tok)
-            if qm and qm.end() == len(tok):
+            if qm:
                 tok = qm.group("mark") + " " + qm.group("head") + qm.group("tail")
             tok = tok.replace("-", " - ")
-        elif kind == "legal":
-            tok = tok.replace("-", " - ") if "א" <= tok[0] <= "ת" else tok
         elif kind == "num" and tok.endswith("%"):
             tok = tok[:-1] + " %"
         out.extend(tok.split())
