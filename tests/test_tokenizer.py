@@ -62,6 +62,9 @@ def test_dash_split_in_hebrew_word():
     assert tokenize("תל-אביב") == ["תל", "-", "אביב"]
 
 
-def test_numbering_kept_whole():
-    sents = split_sentences("1. סעיף ראשון")
-    assert sents and sents[0].startswith("1.")
+def test_dotted_tokens():
+    # a chunk-final dot always ends the sentence (reference checks end-of-chunk
+    # before the dotted-legal rule, utils/tokenizer.py:105), but mid-chunk
+    # dotted numerics/acronyms are kept whole (:118-127)
+    assert split_sentences("1. סעיף ראשון") == ["1 .", "סעיף ראשון"]
+    assert split_sentences("עלייה של 1.5 אחוז .") == ["עלייה של 1.5 אחוז ."]
