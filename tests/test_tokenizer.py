@@ -67,5 +67,5 @@ def test_dotted_tokens():
     # before the dotted-legal rule, utils/tokenizer.py:105), but mid-chunk
     # dotted numerics/acronyms are kept whole (:118-127)
     assert split_sentences("1. סעיף ראשון") == ["1 .", "סעיף ראשון"]
-    # dotted acronym stays whole mid-sentence (numbering rule over [א-י])
-    assert split_sentences("ח.כ. כהן נאם .") == ["ח.כ. כהן נאם ."]
+    # dotted numbering (letters in א-י) stays whole mid-sentence
+    assert split_sentences("א.ב. המשך טוב .") == ["א.ב. המשך טוב ."]
