@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001; ``queries()`` maps
+each implemented operator/pipeline (SURVEY.md §2) to a callable over an
+``sf_dir``; ``oracle_sql()`` provides the DuckDB-equivalent SQL over the
+pre-registered testdata views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -20,25 +16,107 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs → NER → mentions → triples → canonical
+    entities → sorted node table (sf0.001)."""
+    from hebrew_ner_ray.pipelines.kg import build_graph
+
+    nodes, _edges = build_graph("/root/testdata/sf0.001")
+    return nodes
+
+
+# --- KG / NER query family (synthetic interleaved corpus derived from the
+# documents view; oracles re-derive the corpus in SQL and join template
+# gold — see hebrew_ner_ray/fixtures/oracle.py) ---
+
+
+def _kg_queries() -> dict[str, Callable[[str], Any]]:
+    from hebrew_ner_ray.kg.canonical import build_edges, build_nodes
+    from hebrew_ner_ray.pipelines.kg import annotated, build_graph
+    from hebrew_ner_ray.sources.interleaved import (
+        check_span_invariant,
+        flatten_spans,
+        read_interleaved,
+    )
+
+    def kg_flatten(sf_dir: str):
+        return flatten_spans(read_interleaved(sf_dir))
+
+    def kg_sentences(sf_dir: str):
+        return annotated(sf_dir, "tokens")
+
+    def _ner(mode: str):
+        def run(sf_dir: str):
+            return annotated(sf_dir, mode)
+
+        return run
+
+    def kg_nodes(sf_dir: str):
+        return build_nodes(annotated(sf_dir, "mentions"))
+
+    def kg_edges(sf_dir: str):
+        return build_edges(annotated(sf_dir, "triples"))
+
+    def kg_span_invariant(sf_dir: str):
+        import pandas as pd
+
+        docs = read_interleaved(sf_dir)
+        checked = docs.map_batches(check_span_invariant, batch_format="pyarrow")
+        n_docs = checked.count()
+        n_ok = int(checked.sum("ok"))
+        return pd.DataFrame({"n_docs": [n_docs], "n_ok": [n_ok]})
+
+    return {
+        "kg_flatten_spans": kg_flatten,
+        "kg_sentences": kg_sentences,
+        "ner_token_single": _ner("single"),
+        "ner_token_multi": _ner("multi"),
+        "ner_morph": _ner("morph"),
+        "ner_hybrid": _ner("hybrid"),
+        "kg_mentions": _ner("mentions"),
+        "kg_triples": _ner("triples"),
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "kg_span_invariant": kg_span_invariant,
+    }
+
+
+def _kg_oracles() -> dict[str, str]:
+    from hebrew_ner_ray.fixtures import oracle as o
+
+    return {
+        "kg_flatten_spans": o.sql_flatten_spans(),
+        "kg_sentences": o.sql_tokens(),
+        "ner_token_single": o.sql_token_labels("single"),
+        "ner_token_multi": o.sql_token_labels("multi"),
+        "ner_morph": o.sql_morph(),
+        "ner_hybrid": o.sql_token_labels("hybrid"),
+        "kg_mentions": o.sql_mentions(),
+        "kg_triples": o.sql_triples(),
+        "kg_nodes": o.sql_nodes(),
+        "kg_edges": o.sql_edges(),
+        "kg_span_invariant": o.sql_span_invariant(),
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(_kg_queries())
+    try:
+        from hebrew_ner_ray.ops.registry import ops_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(ops_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_kg_oracles())
+    try:
+        from hebrew_ner_ray.ops.registry import ops_oracles
+
+        out.update(ops_oracles())
+    except ImportError:
+        pass
+    return out

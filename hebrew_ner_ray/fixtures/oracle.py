@@ -1,0 +1,214 @@
+"""DuckDB oracle SQL generation for the KG queries.
+
+The interleaved corpus is a pure integer-arithmetic function of the
+``documents`` table's ids (sources/interleaved.py), so the oracle re-derives
+the exact corpus in SQL and joins it against per-template gold artifacts
+rendered as VALUES lists. The gold artifacts come from the fixture pool —
+which pytest independently verifies against hand-written label sequences —
+so the driver-side comparison validates the DISTRIBUTED execution (flatten,
+actor-pool annotation, salted groupbys, id hashing) at corpus scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence
+
+from hebrew_ner_ray.fixtures.pool import N_TEMPLATES, TEMPLATES, template_artifacts
+from hebrew_ner_ray.kg.ids import sql_entity_id
+
+
+def q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values(rows: Iterable[Sequence], cast_bigint_cols: Sequence[int] = ()) -> str:
+    rendered: List[str] = []
+    for row in rows:
+        cells = []
+        for k, cell in enumerate(row):
+            if isinstance(cell, str):
+                cells.append(q(cell))
+            elif isinstance(cell, bool):
+                cells.append("TRUE" if cell else "FALSE")
+            elif k in cast_bigint_cols or isinstance(cell, int):
+                cells.append(f"CAST({cell} AS BIGINT)")
+            else:
+                cells.append(str(cell))
+        rendered.append("(" + ", ".join(cells) + ")")
+    return ",\n    ".join(rendered)
+
+
+# Shared CTE: re-derive the interleaved corpus from the documents view.
+CORPUS_CTE = f"""
+ids AS (SELECT doc_id AS i FROM documents),
+spans AS (SELECT i, unnest(range(1 + (i*7 + 3) % 8)) AS j FROM ids),
+attrs AS (
+  SELECT 'doc-' || lpad(CAST(i AS VARCHAR), 8, '0') AS doc_id,
+         i, j,
+         ((i*31 + j*17) % 4) <> 0 AS is_text,
+         (i*13 + j*5) % {N_TEMPLATES} AS t,
+         CASE WHEN ((i*31 + j*17) % 4) <> 0 THEN 'text'
+              WHEN (i + j) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+  FROM spans
+)"""
+
+
+def pool_cte() -> str:
+    rows = _values([(t, text) for t, text in enumerate(TEMPLATES)])
+    return f"pool(t, text) AS (VALUES\n    {rows})"
+
+
+def _gold_cte(name: str, cols: str, rows: Iterable[Sequence]) -> str:
+    return f"{name}({cols}) AS (VALUES\n    {_values(rows)})"
+
+
+def sql_flatten_spans() -> str:
+    return f"""WITH {CORPUS_CTE},
+{pool_cte()}
+SELECT a.doc_id,
+       CAST(a.j AS BIGINT) AS span_ord,
+       a.kind,
+       CASE WHEN a.is_text THEN p.text ELSE '' END AS text,
+       CASE WHEN a.is_text THEN ''
+            ELSE 'media://' || md5(a.doc_id || '-' || CAST(a.j AS VARCHAR)) END AS media_ref
+FROM attrs a LEFT JOIN pool p ON a.t = p.t
+"""
+
+
+def sql_tokens() -> str:
+    rows = [
+        (t, " ".join(a["tokens"]), len(a["tokens"]))
+        for t, a in enumerate(template_artifacts())
+    ]
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, token_str, n_tokens', rows)}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord, g.token_str,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
+def _label_rows(key: str):
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        for w, (word, lab) in enumerate(zip(a["tokens"], a[key])):
+            rows.append((t, w, word, lab))
+    return rows
+
+
+def sql_token_labels(key: str) -> str:
+    """key in {'single','multi'} (and 'hybrid' — identical to single by the
+    reference's own invariant, verified per-template in tests)."""
+    rows = _label_rows("single" if key == "hybrid" else key)
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, word_idx, word, label', rows)}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord,
+       CAST(g.word_idx AS BIGINT) AS word_idx, g.word, g.label
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
+def sql_morph() -> str:
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        for m, (form, lab, orig) in enumerate(
+            zip(a["morph_forms"], a["morph_labels"], a["morph_origins"])
+        ):
+            rows.append((t, m, form, lab, orig))
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, morph_idx, form, label, origin', rows)}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord,
+       CAST(g.morph_idx AS BIGINT) AS morph_idx, g.form, g.label,
+       CAST(g.origin AS BIGINT) AS origin
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
+def _mention_rows():
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        for k, m in enumerate(a["mentions"]):
+            rows.append((t, k, m.cat, m.lo, m.hi, m.surface, m.core_surface, m.norm_key))
+    return rows
+
+
+def mentions_cte() -> str:
+    return _gold_cte(
+        "gold", "t, mention_ord, cat, lo, hi, surface, core_surface, norm_key", _mention_rows()
+    )
+
+
+def sql_mentions() -> str:
+    return f"""WITH {CORPUS_CTE},
+{mentions_cte()}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord,
+       CAST(g.mention_ord AS BIGINT) AS mention_ord, g.cat,
+       CAST(g.lo AS BIGINT) AS lo, CAST(g.hi AS BIGINT) AS hi,
+       g.surface, g.core_surface, g.norm_key
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
+def _triple_rows():
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        for k, tr in enumerate(a["triples"]):
+            rows.append((t, k, tr.subj, tr.pred, tr.obj, tr.subj_cat, tr.obj_cat))
+    return rows
+
+
+def triples_cte() -> str:
+    return _gold_cte("gold", "t, triple_ord, subj, pred, obj, subj_cat, obj_cat", _triple_rows())
+
+
+def sql_triples() -> str:
+    return f"""WITH {CORPUS_CTE},
+{triples_cte()}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord,
+       CAST(g.triple_ord AS BIGINT) AS triple_ord,
+       g.subj, g.pred, g.obj, g.subj_cat, g.obj_cat
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
+def sql_nodes() -> str:
+    eid = sql_entity_id("m.cat", "m.norm_key")
+    return f"""WITH {CORPUS_CTE},
+{mentions_cte()},
+mentions AS (
+  SELECT a.doc_id, g.* FROM attrs a JOIN gold g ON a.t = g.t WHERE a.is_text
+)
+SELECT {eid} AS entity_id,
+       min(m.core_surface) AS canonical_form,
+       m.cat,
+       CAST(count(*) AS BIGINT) AS mention_count
+FROM mentions m
+GROUP BY m.cat, m.norm_key
+"""
+
+
+def sql_edges() -> str:
+    sid = sql_entity_id("tr.subj_cat", "tr.subj")
+    oid = sql_entity_id("tr.obj_cat", "tr.obj")
+    return f"""WITH {CORPUS_CTE},
+{triples_cte()},
+triples AS (
+  SELECT a.doc_id, g.* FROM attrs a JOIN gold g ON a.t = g.t WHERE a.is_text
+)
+SELECT {sid} AS subj_id, tr.pred, {oid} AS obj_id,
+       CAST(count(*) AS BIGINT) AS weight
+FROM triples tr
+GROUP BY subj_id, tr.pred, obj_id
+"""
+
+
+def sql_span_invariant() -> str:
+    return """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_ok
+FROM documents
+"""

@@ -1,0 +1,181 @@
+"""Synthetic interleaved text+media document source.
+
+Schema is exactly the ``input_hint`` shape from BASELINE.json / FIXTURES.md F1:
+
+    doc_id:  string               "doc-{i:08d}"
+    spans:   list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+Generation is a PURE integer-arithmetic function of the base document id
+drawn from the testdata ``documents`` table, so the exact same corpus is
+reproducible in DuckDB SQL (the driver's oracle re-derives it with the
+same formulas — see __ray_entry__.py). Text spans draw from the 16-template
+fixture pool; media spans get content-addressed ``media://`` refs.
+
+    n_spans(i)   = 1 + (i*7 + 3) % 8                     (1..8 spans)
+    is_text(i,j) = ((i*31 + j*17) % 4) != 0              (~75% text)
+    template(i,j)= (i*13 + j*5) % 16
+    kind         = 'text' | ('image' if (i+j)%2==0 else 'audio')
+    media_ref    = 'media://' + md5(doc_id + '-' + j)
+    offset       = j
+
+The generator is a stateless vectorized ``map_batches`` transform over the
+ids — at 10^12-document scale the same function runs over a sharded id
+range with no data movement at all (generation is embarrassingly parallel
+and each output block is bounded by the input batch size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from hebrew_ner_ray.fixtures.pool import N_TEMPLATES, TEMPLATES
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+DOCS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))])
+
+_POOL = np.asarray(TEMPLATES, dtype=object)
+
+
+def doc_id_str(ids: np.ndarray) -> np.ndarray:
+    return np.asarray([f"doc-{i:08d}" for i in ids], dtype=object)
+
+
+def span_fields(ids: np.ndarray):
+    """Vectorized span attributes for a batch of integer doc ids.
+
+    Returns (offsets, kind, text, media_ref, span_ord, parent_pos) where
+    ``offsets`` are pyarrow list offsets into the flat arrays and
+    ``parent_pos`` maps each span to its position in ``ids``.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    n_spans = 1 + (ids * 7 + 3) % 8
+    offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+    np.cumsum(n_spans, out=offsets[1:])
+    total = int(offsets[-1])
+
+    parent_pos = np.repeat(np.arange(len(ids)), n_spans)
+    i = ids[parent_pos]
+    j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1].astype(np.int64), n_spans)
+
+    is_text = ((i * 31 + j * 17) % 4) != 0
+    template = ((i * 13 + j * 5) % N_TEMPLATES).astype(np.int64)
+
+    kind = np.where(is_text, "text", np.where((i + j) % 2 == 0, "image", "audio")).astype(object)
+    text = np.where(is_text, _POOL[template], "").astype(object)
+
+    media_ref = np.full(total, "", dtype=object)
+    doc_strs = doc_id_str(i)
+    for k in np.flatnonzero(~is_text):
+        h = hashlib.md5(f"{doc_strs[k]}-{j[k]}".encode()).hexdigest()
+        media_ref[k] = f"media://{h}"
+
+    return offsets, kind, text, media_ref, j, parent_pos
+
+
+def generate_docs_batch(batch: "pa.Table | dict") -> pa.Table:
+    """``map_batches`` transform: integer ids → interleaved doc rows."""
+    if isinstance(batch, dict):
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    else:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets, kind, text, media_ref, span_ord, _parent = span_fields(ids)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kind, type=pa.string()),
+            pa.array(text, type=pa.string()),
+            pa.array(media_ref, type=pa.string()),
+            pa.array(span_ord.astype(np.int32), type=pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+    return pa.Table.from_arrays(
+        [pa.array(doc_id_str(ids), type=pa.string()), spans], schema=DOCS_SCHEMA
+    )
+
+
+def read_interleaved(sf_dir: str, replicas: int = 1):
+    """Dataset of interleaved docs anchored to the testdata ``documents`` ids.
+
+    ``replicas > 1`` scales the corpus for benchmarking: each base id d
+    becomes ids {d + r*N : r < replicas}, preserving the per-id formulas.
+    Column-pruned read: only ``doc_id`` leaves the parquet file.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = f"{sf_dir}/documents.parquet"
+    if replicas <= 1:
+        base = ray.data.read_parquet(path, columns=["doc_id"])
+        return base.map_batches(generate_docs_batch, batch_format="pyarrow")
+
+    n = pq.read_metadata(path).num_rows
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        all_ids = (ids[None, :] + (np.arange(replicas) * n)[:, None]).reshape(-1)
+        return pa.table({"doc_id": all_ids})
+
+    base = ray.data.read_parquet(path, columns=["doc_id"])
+    return base.map_batches(expand, batch_format="pyarrow").map_batches(
+        generate_docs_batch, batch_format="pyarrow"
+    )
+
+
+def flatten_spans(docs) -> "object":
+    """docs(doc_id, spans) → one row per span, keys carried explicitly.
+
+    Zero-copy Arrow kernels: list_parent_indices + list_flatten; no Python
+    row loop (SURVEY.md §2.8 — order becomes explicit (doc_id, span_ord)).
+    """
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        doc_ids = batch.column("doc_id").take(parent)
+        return pa.Table.from_arrays(
+            [
+                doc_ids,
+                pa.array(flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)),
+                flat.field("kind"),
+                flat.field("text"),
+                flat.field("media_ref"),
+            ],
+            names=["doc_id", "span_ord", "kind", "text", "media_ref"],
+        )
+
+    return docs.map_batches(_flat, batch_format="pyarrow")
+
+
+def check_span_invariant(batch: pa.Table) -> pa.Table:
+    """Per-row span-sequence-equality check vs the generator formulas.
+
+    The north-rule invariant (BASELINE.json input_hint): the (kind, text,
+    media_ref, order) sequence of every row must equal the input's. Re-runs
+    the pure generator on the row's integer id and compares — returns one
+    row per doc with an ``ok`` flag.
+    """
+    ids = np.asarray(
+        [int(d.split("-")[1]) for d in batch.column("doc_id").to_pylist()], dtype=np.int64
+    )
+    regen = generate_docs_batch({"doc_id": ids})
+    got = batch.column("spans").to_pylist()
+    want = regen.column("spans").to_pylist()
+    flags = [int(g == w) for g, w in zip(got, want)]
+    return pa.table({"doc_id": batch.column("doc_id"), "ok": pa.array(flags, type=pa.int64())})
