@@ -1,0 +1,79 @@
+"""Ray pipeline integration tests over sf0.001 (session-scoped Ray)."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    from hebrew_ner_ray.pipelines.kg import build_graph
+
+    nodes, edges = build_graph(SF)
+    return nodes.to_pandas(), edges.to_pandas()
+
+
+def test_docs_schema(ray_session):
+    from hebrew_ner_ray.sources.interleaved import DOCS_SCHEMA, read_interleaved
+
+    docs = read_interleaved(SF)
+    batch = next(iter(docs.iter_batches(batch_size=8, batch_format="pyarrow")))
+    assert batch.schema.equals(DOCS_SCHEMA)
+    row = batch.to_pylist()[0]
+    assert row["doc_id"].startswith("doc-")
+    offs = [s["offset"] for s in row["spans"]]
+    assert offs == sorted(offs)  # monotonically increasing (input_hint invariant)
+
+
+def test_span_invariant_holds(ray_session):
+    from hebrew_ner_ray.sources.interleaved import check_span_invariant, read_interleaved
+
+    docs = read_interleaved(SF)
+    checked = docs.map_batches(check_span_invariant, batch_format="pyarrow")
+    assert checked.sum("ok") == checked.count()
+
+
+def test_nodes_cover_all_categories(graph):
+    nodes, _ = graph
+    assert set(nodes["cat"]) == {"PER", "ORG", "LOC", "GPE", "FAC", "WOA", "EVE", "DUC", "ANG"}
+    assert (nodes["mention_count"] > 0).all()
+    # sorted materialize
+    assert nodes["entity_id"].is_monotonic_increasing
+    assert nodes["entity_id"].is_unique
+
+
+def test_edges_reference_known_entities(graph):
+    nodes, edges = graph
+    ids = set(nodes["entity_id"])
+    assert set(edges["subj_id"]) <= ids
+    assert set(edges["obj_id"]) <= ids
+    assert (edges["weight"] > 0).all()
+
+
+def test_replicas_scale_linearly(ray_session):
+    from hebrew_ner_ray.sources.interleaved import read_interleaved
+
+    n1 = read_interleaved(SF).count()
+    n3 = read_interleaved(SF, replicas=3).count()
+    assert n3 == 3 * n1
+
+
+def test_entity_ids_content_addressed(graph):
+    from hebrew_ner_ray.kg.ids import entity_id
+
+    nodes, _ = graph
+    row = nodes[nodes["cat"] == "WOA"].iloc[0]
+    # norm_key for the single WOA entity (תנך) — id derivable independently
+    assert row["entity_id"] == entity_id("WOA", "תנכ")
+
+
+def test_hybrid_query_matches_single(ray_session):
+    from hebrew_ner_ray.pipelines.kg import annotated
+
+    single = annotated(SF, "single").to_pandas()
+    hybrid = annotated(SF, "hybrid").to_pandas()
+    key = ["doc_id", "span_ord", "word_idx"]
+    merged = single.merge(hybrid, on=key, suffixes=("_s", "_h"))
+    assert len(merged) == len(single) == len(hybrid)
+    assert (merged["label_s"] == merged["label_h"]).all()
