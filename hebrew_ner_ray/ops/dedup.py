@@ -1,0 +1,189 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, each expressed as a shuffle-conscious Ray Data
+pipeline (the pattern that scales to 100 TB):
+
+- exact:    content-hash → groupby(hash) → min(doc_id)   (one small shuffle
+            over hashes; per-batch pre-hash is vectorized)
+- jaccard:  word-3-gram shingles → inverted index (shingle → docs) →
+            candidate pairs per shingle group with a HOT-SHINGLE CAP →
+            groupby(pair) counts carrying set sizes → exact jaccard.
+            The cap bounds the quadratic pair blowup on stop-shingles; the
+            SQL oracle applies the identical cap so semantics stay exact.
+- minhash:  K md5-derived min-hashes per doc → banded LSH buckets →
+            candidate pairs per (band, bucket) group (dedup'd).
+- simhash:  60-bit sign-aggregated token-hash sketch per doc.
+- embedding: cosine ≥ τ pairs via per-batch numpy matmul against a
+            broadcast matrix (ops/similarity.py holds the broadcast
+            helper); at real scale the same code runs per LSH bucket.
+
+Shared hashing (kg/ids.stable_id) is md5-based so every step is exactly
+reproducible in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hebrew_ner_ray.kg.ids import stable_id
+from hebrew_ner_ray.ops.textstats import ws_tokens
+
+HOT_SHINGLE_CAP = 200
+MINHASH_K = 12
+MINHASH_BAND = 3  # → 4 bands
+SIMHASH_BITS = 60
+
+
+def shingles(text: str) -> set[str]:
+    toks = ws_tokens(text)
+    if len(toks) < 3:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+# --- exact ---
+
+
+def exact_hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "text_hash": [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]],
+            "doc_id": batch["doc_id"].astype("int64"),
+        }
+    )
+
+
+def dedup_exact(sf_dir: str):
+    """One row per distinct text: (text_hash, canonical_doc_id, n_dups)."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = ds.map_batches(exact_hash_batch, batch_format="pandas")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="canonical_doc_id"),
+        Count(alias_name="n_dups"),
+    )
+
+
+# --- shingle explode (shared by jaccard + minhash) ---
+
+
+def shingle_explode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    rows_doc, rows_sh, rows_n = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        sh = shingles(text)
+        n = len(sh)
+        for s in sh:
+            rows_doc.append(doc_id)
+            rows_sh.append(s)
+            rows_n.append(n)
+    return pd.DataFrame({"doc_id": pd.array(rows_doc, dtype="int64"),
+                         "shingle": rows_sh,
+                         "set_size": pd.array(rows_n, dtype="int64")})
+
+
+def _pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) < 2 or len(g) > HOT_SHINGLE_CAP:
+        return pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64"),
+                             "size_a": pd.array([], dtype="int64"), "size_b": pd.array([], dtype="int64")})
+    g = g.sort_values("doc_id")
+    docs = g["doc_id"].to_numpy()
+    sizes = g["set_size"].to_numpy()
+    ia, ib = np.triu_indices(len(docs), k=1)
+    return pd.DataFrame({"a": docs[ia], "b": docs[ib], "size_a": sizes[ia], "size_b": sizes[ib]})
+
+
+def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Near-dup pairs by exact 3-gram-shingle jaccard ≥ threshold."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas")
+    pairs = exploded.groupby("shingle").map_groups(_pairs_from_group, batch_format="pandas")
+    counted = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="inter"),
+        Max("size_a", alias_name="size_a"),
+        Max("size_b", alias_name="size_b"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        union = batch["size_a"] + batch["size_b"] - batch["inter"]
+        j = batch["inter"] / union  # threshold on the unrounded value (SQL parity)
+        out = pd.DataFrame({"a": batch["a"], "b": batch["b"], "jaccard": j.round(6)})
+        return out[(j >= threshold).to_numpy()]
+
+    return counted.map_batches(finish, batch_format="pandas")
+
+
+# --- minhash LSH ---
+
+
+def minhash_signature(sh: set[str]) -> list[int]:
+    if not sh:
+        return [0] * MINHASH_K
+    return [min(stable_id(f"{k}|{s}") for s in sh) for k in range(MINHASH_K)]
+
+
+def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    rows_doc, rows_band, rows_bucket = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        sig = minhash_signature(shingles(text))
+        for band in range(MINHASH_K // MINHASH_BAND):
+            vals = sig[band * MINHASH_BAND : (band + 1) * MINHASH_BAND]
+            bucket = hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+            rows_doc.append(doc_id)
+            rows_band.append(band)
+            rows_bucket.append(bucket)
+    return pd.DataFrame({"doc_id": pd.array(rows_doc, dtype="int64"),
+                         "band": pd.array(rows_band, dtype="int64"),
+                         "bucket": rows_bucket})
+
+
+def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    docs = np.sort(g["doc_id"].unique())
+    if len(docs) < 2 or len(docs) > HOT_SHINGLE_CAP:
+        return pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")})
+    ia, ib = np.triu_indices(len(docs), k=1)
+    return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+
+
+def dedup_minhash(sf_dir: str):
+    """Distinct candidate pairs sharing ≥1 LSH band bucket."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
+    pairs = bands.groupby(["band", "bucket"]).map_groups(_band_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+# --- simhash ---
+
+
+def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for text in batch["text"]:
+        toks = set(ws_tokens(text))
+        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        for t in toks:
+            h = stable_id(t)
+            bits = (h >> np.arange(SIMHASH_BITS)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        sim = int(((acc > 0).astype(np.int64) << np.arange(SIMHASH_BITS)).sum())
+        out.append(sim)
+    return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                         "simhash": pd.array(out, dtype="int64")})
+
+
+def dedup_simhash(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pandas")

@@ -1,0 +1,125 @@
+"""Multimodal stages over the interleaved corpus' media spans.
+
+Real image/audio codecs are not available in this environment, so the
+DECODE KERNEL is a clearly-marked deterministic fake (hash-derived
+dimensions) — but the Ray-side plumbing is real and tested: schema-typed
+media rows, an actor-pool stage with per-actor "decoder" state, bounded
+batch sizes for wide binary payloads, and typed Arrow output.
+
+A production build replaces ``_fake_decode`` with the real codec call; the
+stage signature and layout stay identical. ``decode_real`` raises
+NotImplementedError to mark the boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hebrew_ner_ray.kg.ids import stable_id
+
+
+def decode_real(payload: bytes, kind: str):
+    """Placeholder for the real codec path (PIL / torchaudio / ffmpeg)."""
+    raise NotImplementedError("media codecs are not available in this environment")
+
+
+def _fake_decode(media_ref: str, kind: str):
+    """Deterministic stand-in: dimensions derived from the content hash —
+    exactly reproducible in SQL (kg/ids.sql_stable_id)."""
+    h = stable_id(media_ref)
+    if kind == "image":
+        width = 16 + h % 2048
+        height = 16 + stable_id(media_ref + "#h") % 2048
+        n_frames = 1
+    else:  # audio
+        width = 0
+        height = 0
+        n_frames = 1000 + stable_id(media_ref + "#d") % 600000
+    return width, height, n_frames
+
+
+class MediaDecoder:
+    """Actor-pool decode stage. In production ``__init__`` loads the codec
+    libraries / models once per actor; here it just records readiness."""
+
+    def __init__(self):
+        self.ready = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        w, h, f = [], [], []
+        for kind, ref in zip(kinds, refs):
+            wi, hi, fi = _fake_decode(ref, kind)
+            w.append(wi)
+            h.append(hi)
+            f.append(fi)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "span_ord": batch.column("span_ord"),
+                "kind": batch.column("kind"),
+                "media_ref": batch.column("media_ref"),
+                "width": pa.array(w, type=pa.int64()),
+                "height": pa.array(h, type=pa.int64()),
+                "n_frames": pa.array(f, type=pa.int64()),
+            }
+        )
+
+
+def media_spans(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from hebrew_ner_ray.sources.interleaved import flatten_spans, read_interleaved
+
+    flat = flatten_spans(read_interleaved(sf_dir))
+    return flat.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("kind"), "text")),
+        batch_format="pyarrow",
+    )
+
+
+def media_decode(sf_dir: str):
+    """Decode stub over all media spans (small batches: wide payload rule)."""
+    return media_spans(sf_dir).map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    ).select_columns(["doc_id", "span_ord", "kind", "media_ref", "width", "height", "n_frames"])
+
+
+FEATURE_DIM = 16
+
+
+class MediaFeaturizer:
+    """Feature-extraction stub: hash-seeded pseudo-embedding per media span.
+    Returns a typed fixed-width list column (the real model would too)."""
+
+    def __init__(self, dim: int = FEATURE_DIM):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        feats = np.stack(
+            [
+                np.random.default_rng(stable_id(r) % 2**32).standard_normal(self.dim)
+                for r in refs
+            ]
+        ).astype(np.float32)
+        norm = np.linalg.norm(feats, axis=1).astype(np.float64).round(6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "span_ord": batch.column("span_ord"),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float32()), self.dim
+                ),
+                "feature_norm": pa.array(norm, type=pa.float64()),
+            }
+        )
+
+
+def media_features(sf_dir: str):
+    return media_spans(sf_dir).map_batches(
+        MediaFeaturizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )

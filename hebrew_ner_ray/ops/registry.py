@@ -1,0 +1,262 @@
+"""Query + DuckDB-oracle registry for the scale-ops family.
+
+Every oracle mirrors the Ray implementation's arithmetic exactly: shared
+md5-based hashing (kg/ids.py), integer-unit money/value sums, identical
+regex token contracts, and identical hot-key caps.
+"""
+
+from __future__ import annotations
+
+from hebrew_ner_ray.kg.ids import sql_stable_id
+from hebrew_ner_ray.ops.dedup import HOT_SHINGLE_CAP, MINHASH_BAND, MINHASH_K, SIMHASH_BITS
+from hebrew_ner_ray.ops.similarity import N_QUERIES, PAIR_TAU, TOPK
+from hebrew_ner_ray.ops.textstats import STOPWORDS
+from hebrew_ner_ray.ops.windows import SESSION_GAP_US, WINDOW_US
+
+_BPE_RE = r"[a-z0-9_]+|[^a-z0-9_\s]"
+
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents
+)"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + r""",
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+              ELSE array_to_string(tk, ' ') END AS shingle
+  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS u(i)
+)"""
+)
+
+
+def ops_queries():
+    import ray.data
+
+    from hebrew_ner_ray.ops import dedup, multimodal, relational, similarity, windows
+
+    def _wrap(fn):
+        return lambda sf_dir: fn(sf_dir)
+
+    def _docs_map(batch_fn):
+        def run(sf_dir: str):
+            ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            return ds.map_batches(batch_fn, batch_format="pandas")
+
+        return run
+
+    from hebrew_ner_ray.ops import textstats
+
+    return {
+        "text_token_count": _docs_map(textstats.token_count_batch),
+        "text_lang_id": _docs_map(textstats.lang_id_batch),
+        "text_quality": _docs_map(textstats.quality_batch),
+        "text_fingerprint": _docs_map(textstats.fingerprint_batch),
+        "dedup_exact": _wrap(dedup.dedup_exact),
+        "dedup_jaccard": _wrap(dedup.dedup_jaccard),
+        "dedup_minhash": _wrap(dedup.dedup_minhash),
+        "dedup_simhash": _wrap(dedup.dedup_simhash),
+        "sim_ann_topk": _wrap(similarity.ann_topk),
+        "sim_embedding_pairs": _wrap(similarity.embedding_pairs),
+        "sim_ivf_topk": _wrap(similarity.ivf_topk),  # approximate → rows-only
+        "events_tumbling": _wrap(windows.events_tumbling),
+        "events_sessions": _wrap(windows.events_sessions),
+        "events_top_users": _wrap(windows.events_top_users),
+        "revenue_by_nation": _wrap(relational.revenue_by_nation),
+        "pricing_summary": _wrap(relational.pricing_summary),
+        "media_decode": _wrap(multimodal.media_decode),
+        "media_features": _wrap(multimodal.media_features),  # list col → rows-only
+    }
+
+
+def ops_oracles():
+    from hebrew_ner_ray.fixtures.oracle import CORPUS_CTE
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_bands = MINHASH_K // MINHASH_BAND
+
+    oracles = {
+        "text_token_count": rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "text_lang_id": r"""
+SELECT doc_id,
+       CAST(floor(len(regexp_extract_all(text, '[א-ת]')) * 1.0 / length(text) * 1000000) AS BIGINT) AS heb_ppm,
+       CAST(floor(len(regexp_extract_all(lower(text), '[a-z]')) * 1.0 / length(text) * 1000000) AS BIGINT) AS ascii_ppm,
+       CASE WHEN len(regexp_extract_all(text, '[א-ת]')) * 1.0 / length(text) > 0.3 THEN 'he'
+            WHEN len(regexp_extract_all(lower(text), '[a-z]')) * 1.0 / length(text) > 0.3 THEN 'en'
+            ELSE 'other' END AS guessed_lang
+FROM documents
+""",
+        "text_quality": rf"""
+WITH {_TOKS_CTE},
+u AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+ag AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS clen
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(clen * 1.0 / n_tokens * 1000000) AS BIGINT) AS avg_token_len_ppm,
+       CAST(floor(n_stop * 1.0 / n_tokens * 1000000) AS BIGINT) AS stop_ppm,
+       CAST(CASE WHEN n_tokens BETWEEN 5 AND 1000 AND n_stop * 1.0 / n_tokens < 0.5
+            THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+FROM ag
+""",
+        "text_fingerprint": r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_jaccard": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ok_sh AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) BETWEEN 2 AND {HOT_SHINGLE_CAP}),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+""",
+        "dedup_minhash": f"""
+WITH {_SHINGLES_CTE},
+ks AS (SELECT unnest(range({MINHASH_K})) AS k),
+sig AS (
+  SELECT doc_id, k, min({sql_stable_id("CAST(k AS VARCHAR) || '|' || shingle")}) AS mh
+  FROM sh CROSS JOIN ks GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // {MINHASH_BAND} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bucket
+  FROM sig GROUP BY doc_id, k // {MINHASH_BAND}
+),
+grp AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+        HAVING count(*) BETWEEN 2 AND {HOT_SHINGLE_CAP})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
+FROM bands a JOIN bands b USING (band, bucket) JOIN grp USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+""",
+        "dedup_simhash": f"""
+WITH {_TOKS_CTE},
+u AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+th AS (SELECT doc_id, {sql_stable_id('tok')} AS h FROM u),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b) GROUP BY doc_id, b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "sim_ann_topk": f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sc, 6) AS score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}
+""",
+        "sim_embedding_pairs": f"""
+SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {PAIR_TAU}
+""",
+        "events_tumbling": f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST((epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS BIGINT) AS window_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
+FROM s GROUP BY user_id, sid
+""",
+        "events_top_users": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value_micro DESC, user_id LIMIT 20
+""",
+        "revenue_by_nation": """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       round(sum(CAST(floor(l_quantity) AS BIGINT)) * 1.0 / count(*), 6) AS avg_qty,
+       round(sum(CAST(floor(l_discount * 10000) AS BIGINT)) * 1.0 / count(*), 6) AS avg_disc_bp,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    }
+    media_w = sql_stable_id("media_ref")
+    media_h = sql_stable_id("media_ref || '#h'")
+    media_d = sql_stable_id("media_ref || '#d'")
+    oracles["media_decode"] = f"""
+WITH {CORPUS_CTE},
+media AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS span_ord, kind,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+)
+SELECT doc_id, span_ord, kind, media_ref,
+       CAST(CASE WHEN kind = 'image' THEN 16 + {media_w} % 2048 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN kind = 'image' THEN 16 + {media_h} % 2048 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1000 + {media_d} % 600000 END AS BIGINT) AS n_frames
+FROM media
+"""
+    return oracles

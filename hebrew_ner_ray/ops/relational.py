@@ -1,0 +1,134 @@
+"""Relational patterns over the TPC-H-ish tables — the join/aggregate
+idioms the KG pipeline's wide stages are built from, shown standalone:
+
+- ``revenue_by_nation``: broadcast hash join (dimension side ray.put once,
+  numpy searchsorted lookup per batch — no shuffle for the join) + partial
+  aggregation → small groupby.
+- ``pricing_summary``: TPC-H Q1 shape — column-pruned read, vectorized
+  filter + per-batch partial sums, tiny final groupby; averages computed
+  at finalize from (sum, count).
+
+Money amounts are summed as integer cents (floor(x*100) per row) so the
+distributed sum is EXACT and matches the DuckDB oracle bit-for-bit —
+float-sum ordering differences can flip a rounded decimal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def revenue_by_nation(sf_dir: str):
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ck = cust.column("c_custkey").to_numpy()
+    order_idx = np.argsort(ck)
+    dim_ref = ray.put(
+        (
+            ck[order_idx],
+            cust.column("c_nationkey").to_numpy()[order_idx],
+            dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())),
+        )
+    )
+
+    class JoinAgg:
+        def __init__(self):
+            self.ck, self.cnat, self.names = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            pos = np.searchsorted(self.ck, b["o_custkey"].to_numpy())
+            nat = self.cnat[pos]
+            cents = np.floor(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            g = (
+                pd.DataFrame({"nationkey": nat, "cents": cents})
+                .groupby("nationkey", as_index=False)
+                .agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+            )
+            g["n_name"] = g["nationkey"].map(self.names)
+            return g[["n_name", "revenue_cents", "n_orders"]]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    agg = ds.map_batches(JoinAgg, batch_format="pandas", concurrency=(1, 4)).groupby(
+        "n_name"
+    ).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue_cents"] = b["revenue_cents"].astype("int64")
+        b["n_orders"] = b["n_orders"].astype("int64")
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].astype(str) <= CUTOFF]
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+                "qty": np.floor(b["l_quantity"].to_numpy()).astype(np.int64),
+                "base_cents": np.floor(ext * 100).astype(np.int64),
+                "disc_price_cents": np.floor(ext * (1 - disc) * 100).astype(np.int64),
+                "disc_bp": np.floor(disc * 10000).astype(np.int64),
+            }
+        ).groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_price_cents=("disc_price_cents", "sum"),
+            sum_disc_bp=("disc_bp", "sum"),
+            count_order=("qty", "size"),
+        )
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+        Sum("sum_disc_bp", alias_name="sum_disc_bp"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["count_order"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["sum_qty"].astype("int64"),
+                "sum_base_cents": b["sum_base_cents"].astype("int64"),
+                "sum_disc_price_cents": b["sum_disc_price_cents"].astype("int64"),
+                "avg_qty": (b["sum_qty"] / n).round(6),
+                "avg_disc_bp": (b["sum_disc_bp"] / n).round(6),
+                "count_order": n,
+            }
+        )
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

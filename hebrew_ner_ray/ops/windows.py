@@ -1,0 +1,120 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windowing; these express the standard window
+shapes the way the engine would at scale (ray_guide.md §streaming):
+
+- tumbling: window key computed vectorized per batch + per-batch partial
+  aggregation → small groupby (no per-key state, pure shuffle-light agg).
+- session: ``groupby(user_id).map_groups`` over ts-sorted groups — the
+  partition-by-key-sort-within-partition pattern; state never crosses a
+  key boundary so the shuffle is one hash partition by user.
+- top-k users: partial agg → groupby → sort/limit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+WINDOW_US = 3_600 * 1_000_000
+
+
+def _epoch_us(ts: pd.Series) -> pd.Series:
+    # normalize to µs explicitly — pandas 2 preserves the parquet unit
+    # (datetime64[us]), so a blind int64 view would be unit-dependent
+    return ts.astype("datetime64[us]").astype("int64")
+
+
+def _micro(v: pd.Series) -> np.ndarray:
+    """Integer micro-units (floor(value*1e6)) so distributed sums are exact
+    and match the SQL oracle bit-for-bit."""
+    return np.floor(v.to_numpy() * 1_000_000).astype(np.int64)
+
+
+def tumbling_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    us = _epoch_us(batch["ts"])
+    win = (us // WINDOW_US) * WINDOW_US
+    g = (
+        pd.DataFrame({"user_id": batch["user_id"], "window_us": win,
+                      "value_micro": _micro(batch["value"])})
+        .groupby(["user_id", "window_us"], as_index=False)
+        .agg(n_events=("value_micro", "size"), total_value_micro=("value_micro", "sum"))
+    )
+    return g
+
+
+def events_tumbling(sf_dir: str):
+    """Per (user, hour) event count + value sum."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    partials = ds.map_batches(tumbling_partials, batch_format="pandas")
+    agg = partials.groupby(["user_id", "window_us"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("total_value_micro", alias_name="total_value_micro"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["total_value_micro"] = b["total_value_micro"].astype("int64")
+        b["n_events"] = b["n_events"].astype("int64")
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("ts")
+    us = _epoch_us(g["ts"]).to_numpy()
+    brk = np.ones(len(g), dtype=np.int64)
+    brk[1:] = (np.diff(us) > SESSION_GAP_US).astype(np.int64)
+    sid = np.cumsum(brk)
+    out = (
+        pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid,
+                      "us": us, "value_micro": _micro(g["value"])})
+        .groupby(["user_id", "session_id"], as_index=False)
+        .agg(n_events=("value_micro", "size"), start_us=("us", "min"),
+             end_us=("us", "max"), total_value_micro=("value_micro", "sum"))
+    )
+    for c in ("session_id", "n_events", "start_us", "end_us", "total_value_micro"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_sessions(sf_dir: str):
+    """Session windows (gap > 30 min) per user."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(_sessionize_group, batch_format="pandas")
+
+
+def events_top_users(sf_dir: str, k: int = 20):
+    """Top-k users by total event value (partial agg → groupby → sort/limit)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"user_id": b["user_id"], "value_micro": _micro(b["value"])})
+            .groupby("user_id", as_index=False)
+            .agg(total_value_micro=("value_micro", "sum"), n_events=("value_micro", "size"))
+        )
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
+        Sum("total_value_micro", alias_name="total_value_micro"),
+        Sum("n_events", alias_name="n_events"),
+    )
+    top = agg.sort(["total_value_micro", "user_id"], descending=[True, False]).limit(k)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["total_value_micro"] = b["total_value_micro"].astype("int64")
+        b["n_events"] = b["n_events"].astype("int64")
+        return b
+
+    return top.map_batches(finish, batch_format="pandas")
