@@ -1,0 +1,133 @@
+"""Benchmark harness.
+
+Runs the headline KG-construction pipeline plus representative per-family
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
+JSON line. ``--scaling`` runs the headline job at two parallelism levels
+in fresh processes (the sandbox stand-in for N vs 4N node clusters) and
+reports throughputs + scaling efficiency.
+
+This script OWNS its Ray session (ray.init/shutdown); library code never
+initializes Ray.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate the doc ids so the headline job is a meaningful corpus
+# (sf0.1 → 5000 base docs × 40 = 200k docs ≈ 880k spans)
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "40"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from hebrew_ner_ray.kg.canonical import build_edges, build_nodes
+    from hebrew_ner_ray.pipelines.kg import annotated, text_spans
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    _ = text_spans(SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full KG build (mentions→nodes + triples→edges), sorted output
+    def kg_build():
+        nodes = build_nodes(annotated(SF_DIR, "mentions", replicas=REPLICAS))
+        n = nodes.count()
+        edges = build_edges(annotated(SF_DIR, "triples", replicas=REPLICAS))
+        e = edges.count()
+        return n, e
+
+    timed("kg_build", kg_build)
+    from hebrew_ner_ray.sources.interleaved import read_interleaved
+
+    n_docs = read_interleaved(SF_DIR, replicas=REPLICAS).count()
+
+    # per-family representatives
+    def q_hybrid():
+        return annotated(SF_DIR, "hybrid", replicas=4).count()
+
+    timed("hybrid_tag", q_hybrid)
+
+    from hebrew_ner_ray.ops.dedup import dedup_jaccard
+    timed("dedup_jaccard", lambda: dedup_jaccard(SF_DIR).count())
+
+    from hebrew_ner_ray.ops.similarity import ann_topk
+    timed("ann_topk", lambda: ann_topk(SF_DIR).count())
+
+    from hebrew_ner_ray.ops.windows import events_sessions
+    timed("events_sessions", lambda: events_sessions(SF_DIR).count())
+
+    from hebrew_ner_ray.ops.relational import pricing_summary
+    timed("pricing_summary", lambda: pricing_summary(SF_DIR).count())
+
+    ray.shutdown()
+
+    headline = timings["kg_build"]
+    return {
+        "metric": "kg_build_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo.get("docs_per_sec"),
+        "docs_per_sec_hi": r_hi.get("docs_per_sec"),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

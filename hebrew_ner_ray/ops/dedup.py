@@ -88,27 +88,67 @@ def shingle_explode_batch(batch: pd.DataFrame) -> pd.DataFrame:
                          "set_size": pd.array(rows_n, dtype="int64")})
 
 
-def _pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
-    if len(g) < 2 or len(g) > HOT_SHINGLE_CAP:
-        return pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64"),
-                             "size_a": pd.array([], dtype="int64"), "size_b": pd.array([], dtype="int64")})
-    g = g.sort_values("doc_id")
-    docs = g["doc_id"].to_numpy()
-    sizes = g["set_size"].to_numpy()
-    ia, ib = np.triu_indices(len(docs), k=1)
-    return pd.DataFrame({"a": docs[ia], "b": docs[ib], "size_a": sizes[ia], "size_b": sizes[ib]})
+N_KEY_BUCKETS = 32
+
+
+def _add_bucket(batch: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    """Coarse deterministic bucket of the join key — the explicit
+    partitioned-hash-join pattern (ray_guide §joins): one groupby over B
+    buckets instead of millions of tiny key groups, with the pairing done
+    as a VECTORIZED pandas self-merge inside each bucket."""
+    import zlib
+
+    key = batch[key_cols[0]].astype(str)
+    for c in key_cols[1:]:
+        key = key + "\x1f" + batch[c].astype(str)
+    batch = batch.copy()
+    batch["bucket_id"] = [zlib.crc32(k.encode()) % N_KEY_BUCKETS for k in key]
+    return batch
+
+
+def _bucket_pair_fn(key_cols: list[str], carry_sizes: bool):
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # each join key lives entirely in one bucket, so the hot-key cap is
+        # decided locally and the self-merge is complete for this bucket
+        sizes = g.groupby(key_cols, as_index=False).size()
+        live = sizes[(sizes["size"] >= 2) & (sizes["size"] <= HOT_SHINGLE_CAP)][key_cols]
+        gg = g.merge(live, on=key_cols)
+        m = gg.merge(gg, on=key_cols, suffixes=("", "_r"))
+        m = m[m["doc_id"] < m["doc_id_r"]]
+        out = {"a": m["doc_id"].astype("int64"), "b": m["doc_id_r"].astype("int64")}
+        if carry_sizes:
+            out["size_a"] = m["set_size"].astype("int64")
+            out["size_b"] = m["set_size_r"].astype("int64")
+        return pd.DataFrame(out)
+
+    return pairs_in_bucket
 
 
 def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
-    """Near-dup pairs by exact 3-gram-shingle jaccard ≥ threshold."""
+    """Near-dup pairs by exact 3-gram-shingle jaccard ≥ threshold.
+
+    Two shuffles total: inverted index bucketed by shingle hash (candidate
+    pairs emitted vectorized per bucket), then a groupby over the (a, b)
+    pairs summing shared-shingle counts."""
     import ray.data
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas")
-    pairs = exploded.groupby("shingle").map_groups(_pairs_from_group, batch_format="pandas")
+    exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas").map_batches(
+        lambda b: _add_bucket(b, ["shingle"]), batch_format="pandas"
+    )
+    pair_fn = _bucket_pair_fn(["shingle"], carry_sizes=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = pair_fn(g)
+        # local partial: shared-shingle count per pair within this bucket
+        return p.groupby(["a", "b"], as_index=False).agg(
+            inter=("a", "size"), size_a=("size_a", "max"), size_b=("size_b", "max")
+        )
+
+    pairs = exploded.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
     counted = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="inter"),
+        Sum("inter", alias_name="inter"),
         Max("size_a", alias_name="size_a"),
         Max("size_b", alias_name="size_b"),
     )
@@ -146,21 +186,21 @@ def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
                          "bucket": rows_bucket})
 
 
-def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    docs = np.sort(g["doc_id"].unique())
-    if len(docs) < 2 or len(docs) > HOT_SHINGLE_CAP:
-        return pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")})
-    ia, ib = np.triu_indices(len(docs), k=1)
-    return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
-
-
 def dedup_minhash(sf_dir: str):
-    """Distinct candidate pairs sharing ≥1 LSH band bucket."""
+    """Distinct candidate pairs sharing ≥1 LSH band bucket (bucketed hash
+    join on the (band, bucket) key, hot-bucket capped)."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
-    pairs = bands.groupby(["band", "bucket"]).map_groups(_band_pairs, batch_format="pandas")
+    bands = ds.map_batches(minhash_bands_batch, batch_format="pandas").map_batches(
+        lambda b: _add_bucket(b, ["band", "bucket"]), batch_format="pandas"
+    )
+    pair_fn = _bucket_pair_fn(["band", "bucket"], carry_sizes=False)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return pair_fn(g).drop_duplicates()
+
+    pairs = bands.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
