@@ -60,3 +60,70 @@ def write_graph(sf_dir: str, out_dir: str, replicas: int = 1, concurrency=None):
     nodes.write_parquet(f"{out_dir}/nodes")
     edges.write_parquet(f"{out_dir}/edges")
     return out_dir
+
+
+def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: int,
+                        replicas: int = 1, concurrency=None):
+    """Annotation restricted to one doc-id hash partition — the unit of
+    checkpointed work. The partition predicate is applied to the integer
+    ids BEFORE span generation, so skipped partitions cost nothing (at
+    real scale this is the input-fragment pruning step)."""
+    import pyarrow as pa
+    import ray.data
+
+    from hebrew_ner_ray.sources.interleaved import flatten_spans, generate_docs_batch
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def gen_partition(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if replicas > 1:
+            n = len(ids)  # per-batch replica expansion keeps blocks bounded
+            ids = (ids[None, :] + (np.arange(replicas) * n)[:, None]).reshape(-1)
+        ids = ids[ids % n_partitions == partition]
+        return generate_docs_batch({"doc_id": ids})
+
+    docs = base.map_batches(gen_partition, batch_format="pyarrow")
+    spans = flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
+    return spans.map_batches(
+        AnnotateBatch,
+        fn_constructor_kwargs={"emit": emit},
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def build_graph_resumable(sf_dir: str, work_dir: str, n_partitions: int = 8,
+                          replicas: int = 1, concurrency=None):
+    """Checkpointed KG build: the expensive annotation stage is written per
+    doc-id partition with an atomic-commit manifest (state/checkpoint.py);
+    the cheap canonicalization/aggregation re-runs from the checkpoint.
+    Re-invoking after a crash skips completed partitions.
+    Returns (nodes_ds, edges_ds)."""
+    import ray.data
+
+    from hebrew_ner_ray.state.checkpoint import run_partitioned
+
+    for emit in ("mentions", "triples"):
+        run_partitioned(
+            f"{work_dir}/{emit}",
+            range(n_partitions),
+            lambda k, emit=emit: annotated_partition(
+                sf_dir, emit, k, n_partitions, replicas=replicas, concurrency=concurrency
+            ),
+        )
+    import os
+
+    def _files(table: str):
+        out = []
+        for k in range(n_partitions):
+            d = f"{work_dir}/{table}/part={k}"
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+        return out
+
+    mentions = ray.data.read_parquet(_files("mentions"))
+    triples = ray.data.read_parquet(_files("triples"))
+    return build_nodes(mentions), build_edges(triples)

@@ -1,0 +1,114 @@
+"""Per-partition checkpointing + lineage manifest (resumable execution).
+
+Ray Data retries tasks but has no job-level checkpointing; the north rule
+requires resumable runs over 10^12 docs. Design (ray_guide §sources &
+sinks, SURVEY.md §4):
+
+- The input id-space is split into fixed PARTITIONS (hash buckets of the
+  doc id range). Each partition is processed and written independently to
+  ``out_dir/part=<k>/`` via an ATOMIC commit: write to ``_tmp-<k>``, fsync,
+  rename to the final name, then append a manifest line.
+- The manifest (``manifest.jsonl``) records one line per completed
+  partition: id, row count, wall time, and the engine/gazetteer version —
+  the lineage needed to audit or invalidate a partition.
+- On resume, completed partitions are anti-joined away (set difference on
+  the manifest) and only the remainder runs. A crashed partition leaves
+  only a ``_tmp`` directory, which is ignored and overwritten.
+
+Each partition is itself a streaming Ray Data pipeline — the checkpoint
+granularity bounds lost work, not parallelism (inside a partition the
+streaming executor still fans out over all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable, Iterable, List
+
+MANIFEST = "manifest.jsonl"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST)
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    path = _manifest_path(out_dir)
+    done: set[int] = set()
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    done.add(json.loads(line)["partition"])
+    return done
+
+
+def _commit(out_dir: str, record: dict) -> None:
+    path = _manifest_path(out_dir)
+    with open(path, "a", encoding="utf-8") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def run_partitioned(
+    out_dir: str,
+    partitions: Iterable[int],
+    build: Callable[[int], "object"],
+    version: str = "1",
+) -> List[int]:
+    """Run ``build(partition) -> Dataset`` for every not-yet-done partition,
+    writing each to ``out_dir/part=<k>`` atomically and appending to the
+    manifest. Returns the list of partitions executed this run.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    ran: List[int] = []
+    for k in partitions:
+        if k in done:
+            continue
+        final = os.path.join(out_dir, f"part={k}")
+        tmp = os.path.join(out_dir, f"_tmp-{k}")
+        for d in (tmp, final):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        t0 = time.perf_counter()
+        ds = build(k)
+        ds.write_parquet(tmp)
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.read_metadata(os.path.join(tmp, f)).num_rows
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        os.rename(tmp, final)
+        _commit(
+            out_dir,
+            {
+                "partition": k,
+                "rows": n_rows,
+                "sec": round(time.perf_counter() - t0, 3),
+                "version": version,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
+        )
+        ran.append(k)
+    return ran
+
+
+def partition_filter(batch, n_partitions: int, partition: int):
+    """Vectorized doc-id partition predicate for pyarrow batches
+    (hash bucket = integer doc id % n_partitions)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.asarray(
+        [int(d.split("-")[1]) for d in batch.column("doc_id").to_pylist()], dtype=np.int64
+    )
+    mask = (ids % n_partitions) == partition
+    return batch.filter(pa.array(mask))
