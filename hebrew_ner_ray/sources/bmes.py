@@ -1,0 +1,136 @@
+"""BMES file source/sink — the reference's line-oriented fixture format
+(word SPACE label; blank line = sentence boundary; '#' comments), mapped
+to Ray Data.
+
+Files are parsed WHOLE-FILE inside the read tasks (read_binary_files with
+paths) because sentence boundaries are blank lines — splitting a file
+across blocks would cut sentences (SURVEY.md §2.1 S2: boundary-aware scan
+per file). One task per file is also the right parallel grain: a corpus is
+many files.
+
+Reference semantics: utils/ner.py:32-115 (read_file,
+read_file_to_sentences, read_file_to_sentences_df,
+read_token_origins_to_df — incl. the 1-based→0-based origin shift and the
+rsplit-once word/label split), utils/data.py:340-366 (decode writer).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+
+def parse_bmes_text(content: str, comment_delim: str = "#", word_label_delim: str = " "):
+    """BMES text → (sent_id, word_idx, word, label) tuples.
+
+    Mirrors read_file_to_sentences_df (utils/ner.py:57-83): running
+    sentence counter, per-sentence word index, rsplit once so words may
+    contain the delimiter.
+    """
+    rows = []
+    sent, word_idx = 0, 0
+    for line in content.splitlines():
+        if line.startswith(comment_delim):
+            continue
+        line = line.strip()
+        if line:
+            word, label = line.rsplit(word_label_delim, maxsplit=1)
+            rows.append((sent, word_idx, word, label))
+            word_idx += 1
+        else:
+            sent += 1
+            word_idx = 0
+    return rows
+
+
+def parse_origins_text(content: str, comment_delim: str = "#"):
+    """Token-origin file → (sent_id, morph_idx, origin) with the
+    reference's 1-based→0-based correction (utils/ner.py:86-115)."""
+    rows = []
+    sent, idx = 0, 0
+    for line in content.splitlines():
+        if line.startswith(comment_delim):
+            continue
+        line = line.strip()
+        if line:
+            rows.append((sent, idx, int(line) - 1))
+            idx += 1
+        else:
+            sent += 1
+            idx = 0
+    return rows
+
+
+def read_bmes(paths) -> "object":
+    """Dataset of (path, sent_id, word_idx, word, label) rows."""
+    import ray.data
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {"path": [], "sent_id": [], "word_idx": [], "word": [], "label": []}
+        for path, data in zip(batch.column("path").to_pylist(), batch.column("bytes").to_pylist()):
+            for s, w, word, label in parse_bmes_text(data.decode("utf-8")):
+                out["path"].append(path)
+                out["sent_id"].append(s)
+                out["word_idx"].append(w)
+                out["word"].append(word)
+                out["label"].append(label)
+        return pa.table(
+            {
+                "path": pa.array(out["path"], type=pa.string()),
+                "sent_id": pa.array(out["sent_id"], type=pa.int64()),
+                "word_idx": pa.array(out["word_idx"], type=pa.int64()),
+                "word": pa.array(out["word"], type=pa.string()),
+                "label": pa.array(out["label"], type=pa.string()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def read_origins(paths) -> "object":
+    import ray.data
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {"path": [], "sent_id": [], "morph_idx": [], "origin": []}
+        for path, data in zip(batch.column("path").to_pylist(), batch.column("bytes").to_pylist()):
+            for s, i, o in parse_origins_text(data.decode("utf-8")):
+                out["path"].append(path)
+                out["sent_id"].append(s)
+                out["morph_idx"].append(i)
+                out["origin"].append(o)
+        return pa.table(
+            {
+                "path": pa.array(out["path"], type=pa.string()),
+                "sent_id": pa.array(out["sent_id"], type=pa.int64()),
+                "morph_idx": pa.array(out["morph_idx"], type=pa.int64()),
+                "origin": pa.array(out["origin"], type=pa.int64()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def bmes_lines(sentences: List[List[tuple]]) -> str:
+    """Sentences of (word, label) → BMES text (decode-file format,
+    utils/data.py:340-366)."""
+    blocks = ["\n".join(f"{w} {l}" for w, l in sent) for sent in sentences]
+    return "\n\n".join(blocks) + "\n\n"
+
+
+def write_bmes(ds, path: str) -> None:
+    """Materialize a (sent_id, word_idx, word, label) dataset to one BMES
+    file (conformance-fixture sink — small outputs only)."""
+    import pandas as pd
+
+    df = ds.to_pandas().sort_values(["sent_id", "word_idx"])
+    sents = [
+        list(zip(g["word"], g["label"]))
+        for _, g in df.groupby("sent_id", sort=True)
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(bmes_lines(sents))

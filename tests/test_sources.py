@@ -1,0 +1,89 @@
+"""BMES source/sink round-trips and groupings rules."""
+
+import pytest
+
+from hebrew_ner_ray.morph.groupings import grouping_matches_splitting, make_groupings
+from hebrew_ner_ray.sources.bmes import bmes_lines, parse_bmes_text, parse_origins_text
+
+
+def test_parse_bmes():
+    text = "# comment\nשלום O\nעולם S-GPE\n\nהי O\n"
+    rows = parse_bmes_text(text)
+    assert rows == [(0, 0, "שלום", "O"), (0, 1, "עולם", "S-GPE"), (1, 0, "הי", "O")]
+
+
+def test_parse_bmes_word_with_space():
+    # rsplit-once: words may contain the delimiter (utils/ner.py:73)
+    rows = parse_bmes_text("a b O\n")
+    assert rows == [(0, 0, "a b", "O")]
+
+
+def test_parse_origins_one_based_shift():
+    rows = parse_origins_text("1\n1\n2\n\n1\n")
+    assert rows == [(0, 0, 0), (0, 1, 0), (0, 2, 1), (1, 0, 0)]
+
+
+def test_bmes_roundtrip_text():
+    sents = [[("שלום", "O"), ("עולם", "S-GPE")], [("הי", "O")]]
+    text = bmes_lines(sents)
+    rows = parse_bmes_text(text)
+    assert [(r[2], r[3]) for r in rows] == [w for s in sents for w in s]
+
+
+def test_bmes_ray_roundtrip(ray_session, tmp_path):
+    from hebrew_ner_ray.sources.bmes import read_bmes, write_bmes
+
+    p = tmp_path / "f.bmes"
+    p.write_text("גנן O\nבגן S-LOC\n\nדגן O\n", encoding="utf-8")
+    ds = read_bmes([str(p)])
+    df = ds.to_pandas()
+    assert len(df) == 3
+    assert df["label"].tolist() == ["O", "S-LOC", "O"]
+
+    out = tmp_path / "out.bmes"
+    write_bmes(ds.select_columns(["sent_id", "word_idx", "word", "label"]), str(out))
+    assert parse_bmes_text(out.read_text(encoding="utf-8")) == parse_bmes_text(
+        p.read_text(encoding="utf-8")
+    )
+
+
+# --- groupings rules (reference utils/ner.py:260-396 semantics) ---
+
+
+@pytest.mark.parametrize(
+    "morphs, words",
+    [
+        (["ב", "בית"], ["בבית"]),
+        (["ב", "ה", "בית"], ["בבית"]),            # hidden definite article
+        (["ו", "ה", "ילד"], ["והילד"]),
+        (["ו", "ב", "בית"], ["ובבית"]),
+        (["כש", "הם"], ["כשהם"]),
+        (["של", "הם"], ["שלהם"]),                  # pronominal suffix (single style)
+        (["על", "הוא"], ["עליו"]),                 # plural-style endings after על
+        # מ is a single-char particle, so the plain-merge rule wins before
+        # the pronoun branch (reference rule order, utils/ner.py:324-325);
+        # the FROM table only fires for the ממן form
+        (["מ", "הוא"], ["מהוא"]),
+        (["ממן", "הוא"], ["ממןמנו"]),              # reference appends to surface as-is
+        (["עם", "אני"], ["אתי"]),
+        (["את", "הם"], ["אותם"]),                  # ה-dropped contraction
+        (["כמו", "אני"], ["כמוני"]),
+        (["לפי", "הם"], ["לפיהם"]),
+        (["בית", ",", "גן"], ["בית", ",", "גן"]),  # punctuation isolation
+    ],
+)
+def test_groupings_words(morphs, words):
+    _groups, got = make_groupings(morphs)
+    assert got == words
+
+
+def test_grouping_matches_splitting():
+    assert grouping_matches_splitting(["ב", "בית", "גדול"], [2, 1])
+    assert not grouping_matches_splitting(["ב", "בית", "גדול"], [1, 1, 1])
+
+
+def test_groupings_cover_all_indices_mostly():
+    # groups partition the index space for prefix-style sequences
+    groups, words = make_groupings(["ו", "כש", "הם", "באו", ".", "ב", "ה", "גן"])
+    flat = sorted(i for g in groups for i in g)
+    assert flat == list(range(8))
