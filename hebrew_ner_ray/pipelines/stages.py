@@ -36,92 +36,137 @@ class AnnotateBatch:
     state (gazetteer index) is constructed once per actor. Input batches
     are flattened span rows (doc_id, span_ord, kind, text, ...); non-text
     spans must already be filtered out.
+
+    Per batch, annotation runs once per DISTINCT sentence text and the
+    per-sentence payload is replicated to all occurrences with numpy
+    repeat/tile (dedup-before-expensive-op — web corpora repeat
+    boilerplate sentences heavily; with fully distinct texts the dedup
+    costs one hash pass). A bounded per-actor LRU carries payloads across
+    batches.
     """
+
+    CACHE_SIZE = 65536
 
     def __init__(self, emit: str = "single"):
         assert emit in EMIT_MODES, emit
         self.emit = emit
         self.tagger = SentenceTagger()
         self.index = self.tagger.index
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+
+    # --- per-sentence payload: token-level (or row-level) columns, no keys ---
+
+    def _compute_payload(self, text: str) -> dict:
+        tokens = [t for sent in text_to_token_sentences(text) for t in sent]
+        emit = self.emit
+        if emit == "tokens":
+            return {"token_str": [" ".join(tokens)], "n_tokens": [len(tokens)]}
+        if emit == "hybrid":
+            labels, _f, _m, _o = hybrid_tag_sentence(tokens, self.index)
+            return {"word_idx": list(range(len(tokens))), "word": tokens, "label": labels}
+        if emit == "eval":
+            from hebrew_ner_ray.eval.metrics import sentence_counts
+
+            pred, _f, _m, _o = hybrid_tag_sentence(tokens, self.index)
+            gold = self.tagger.tag_single(tokens)
+            ct, nt, np_, ng, nc = sentence_counts(pred, gold)
+            return {"corr_tok": [ct], "n_tok": [nt], "n_pred": [np_],
+                    "n_gold": [ng], "n_correct": [nc]}
+        if emit == "groupings":
+            from hebrew_ner_ray.morph.groupings import make_groupings
+
+            forms, _labels, _orig = self.tagger.tag_morph(tokens)
+            groups, words = make_groupings(forms)
+            # the reference's pronoun-fallback branch can append a word
+            # without opening a group (utils/ner.py:390-392), so pair up to
+            # the shorter of the two — same truncation as zip()
+            n = min(len(groups), len(words))
+            return {"group_ord": list(range(n)), "grouped_word": words[:n],
+                    "n_morphs": [len(g) for g in groups[:n]]}
+        matches = self.tagger.match(tokens)
+        if emit == "single":
+            from hebrew_ner_ray.ner.tagger import token_single_labels
+
+            return {"word_idx": list(range(len(tokens))), "word": tokens,
+                    "label": token_single_labels(len(tokens), matches)}
+        if emit == "multi":
+            from hebrew_ner_ray.ner.tagger import token_multi_labels
+
+            return {"word_idx": list(range(len(tokens))), "word": tokens,
+                    "label": token_multi_labels(tokens, matches)}
+        if emit == "morph":
+            from hebrew_ner_ray.ner.tagger import (
+                morph_labels_for_segmentation,
+                sentence_segmentation,
+            )
+
+            segs = sentence_segmentation(tokens, matches)
+            forms, labels, origins = morph_labels_for_segmentation(tokens, segs, matches)
+            return {"morph_idx": list(range(len(forms))), "form": forms,
+                    "label": labels, "origin": origins}
+        if emit == "mentions":
+            ms = mentions_from_sentence(tokens, matches)
+            return {"mention_ord": list(range(len(ms))), "cat": [m.cat for m in ms],
+                    "lo": [m.lo for m in ms], "hi": [m.hi for m in ms],
+                    "surface": [m.surface for m in ms],
+                    "core_surface": [m.core_surface for m in ms],
+                    "norm_key": [m.norm_key for m in ms]}
+        # triples
+        ms = mentions_from_sentence(tokens, matches)
+        ts = triples_from_mentions(tokens, ms)
+        return {"triple_ord": list(range(len(ts))), "subj": [t.subj for t in ts],
+                "pred": [t.pred for t in ts], "obj": [t.obj for t in ts],
+                "subj_cat": [t.subj_cat for t in ts], "obj_cat": [t.obj_cat for t in ts]}
+
+    def _payload(self, text: str) -> dict:
+        cached = self._cache.get(text)
+        if cached is not None:
+            self._cache.move_to_end(text)
+            return cached
+        p = self._compute_payload(text)
+        self._cache[text] = p
+        if len(self._cache) > self.CACHE_SIZE:
+            self._cache.popitem(last=False)
+        return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        span_ords = batch.column("span_ord").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+        span_ords = batch.column("span_ord").to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch.column("text").to_pylist()
 
-        emit = self.emit
-        cols: dict[str, List] = {}
+        # group row positions by distinct text
+        by_text: dict[str, List[int]] = {}
+        for pos, t in enumerate(texts):
+            by_text.setdefault(t, []).append(pos)
 
-        def add(**kw):
-            for k, v in kw.items():
-                cols.setdefault(k, []).append(v)
-
-        for doc_id, span_ord, text in zip(doc_ids, span_ords, texts):
-            tokens = [t for sent in text_to_token_sentences(text) for t in sent]
-            if emit == "tokens":
-                add(doc_id=doc_id, span_ord=span_ord, token_str=" ".join(tokens),
-                    n_tokens=len(tokens))
+        key_doc: List[np.ndarray] = []
+        key_span: List[np.ndarray] = []
+        payload_cols: dict[str, List] = {}
+        for text, positions in by_text.items():
+            p = self._payload(text)
+            k = len(next(iter(p.values()))) if p else 0
+            if k == 0:
                 continue
-            if emit == "hybrid":
-                labels, _f, _m, _o = hybrid_tag_sentence(tokens, self.index)
-                for w, (tok, lab) in enumerate(zip(tokens, labels)):
-                    add(doc_id=doc_id, span_ord=span_ord, word_idx=w, word=tok, label=lab)
-                continue
-            if emit == "eval":
-                # distributed P/R/F partials: hybrid predictions vs the
-                # token_single "gold" (A8/A9 pattern — only counters move)
-                from hebrew_ner_ray.eval.metrics import sentence_counts
+            pos_arr = np.asarray(positions, dtype=np.int64)
+            key_doc.append(np.repeat(doc_ids[pos_arr], k))
+            key_span.append(np.repeat(span_ords[pos_arr], k))
+            for name, vals in p.items():
+                payload_cols.setdefault(name, []).append(
+                    np.tile(np.asarray(vals, dtype=object), len(positions))
+                )
 
-                pred, _f, _m, _o = hybrid_tag_sentence(tokens, self.index)
-                gold = self.tagger.tag_single(tokens)
-                ct, nt, np_, ng, nc = sentence_counts(pred, gold)
-                add(doc_id=doc_id, span_ord=span_ord, corr_tok=ct, n_tok=nt,
-                    n_pred=np_, n_gold=ng, n_correct=nc)
-                continue
-            if emit == "groupings":
-                from hebrew_ner_ray.morph.groupings import make_groupings
-
-                forms, _labels, _orig = self.tagger.tag_morph(tokens)
-                groups, words = make_groupings(forms)
-                for k, (g, w) in enumerate(zip(groups, words)):
-                    add(doc_id=doc_id, span_ord=span_ord, group_ord=k,
-                        grouped_word=w, n_morphs=len(g))
-                continue
-            matches = self.tagger.match(tokens)
-            if emit == "single":
-                from hebrew_ner_ray.ner.tagger import token_single_labels
-
-                for w, (tok, lab) in enumerate(zip(tokens, token_single_labels(len(tokens), matches))):
-                    add(doc_id=doc_id, span_ord=span_ord, word_idx=w, word=tok, label=lab)
-            elif emit == "multi":
-                from hebrew_ner_ray.ner.tagger import token_multi_labels
-
-                for w, (tok, lab) in enumerate(zip(tokens, token_multi_labels(tokens, matches))):
-                    add(doc_id=doc_id, span_ord=span_ord, word_idx=w, word=tok, label=lab)
-            elif emit == "morph":
-                from hebrew_ner_ray.ner.tagger import morph_labels_for_segmentation, sentence_segmentation
-
-                segs = sentence_segmentation(tokens, matches)
-                forms, labels, origins = morph_labels_for_segmentation(tokens, segs, matches)
-                for m, (form, lab, orig) in enumerate(zip(forms, labels, origins)):
-                    add(doc_id=doc_id, span_ord=span_ord, morph_idx=m, form=form,
-                        label=lab, origin=orig)
-            elif emit == "mentions":
-                for k, mn in enumerate(mentions_from_sentence(tokens, matches)):
-                    add(doc_id=doc_id, span_ord=span_ord, mention_ord=k, cat=mn.cat,
-                        lo=mn.lo, hi=mn.hi, surface=mn.surface,
-                        core_surface=mn.core_surface, norm_key=mn.norm_key)
-            elif emit == "triples":
-                mentions = mentions_from_sentence(tokens, matches)
-                for k, tr in enumerate(triples_from_mentions(tokens, mentions)):
-                    add(doc_id=doc_id, span_ord=span_ord, triple_ord=k,
-                        subj=tr.subj, pred=tr.pred, obj=tr.obj,
-                        subj_cat=tr.subj_cat, obj_cat=tr.obj_cat)
-
-        if not cols:
-            return _empty_table(emit)
-        table = pa.table(cols)
-        return _cast_int64(table)
+        if not key_doc:
+            return _empty_table(self.emit)
+        out = {
+            "doc_id": pa.array(np.concatenate(key_doc), type=pa.string()),
+            "span_ord": pa.array(np.concatenate(key_span), type=pa.int64()),
+        }
+        for name, _t in _EMIT_SCHEMAS[self.emit][2:]:
+            vals = np.concatenate(payload_cols[name])
+            out[name] = pa.array(vals, type=_t)
+        return pa.table(out)
 
 
 _INT_COLS = {"span_ord", "word_idx", "morph_idx", "origin", "mention_ord", "triple_ord",
