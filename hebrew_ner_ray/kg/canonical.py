@@ -23,14 +23,24 @@ def _rename_for(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
 
 
 def build_nodes(mentions_ds, sort: bool = True):
-    """mentions → nodes(entity_id, canonical_form, cat, mention_count)."""
-    from ray.data.aggregate import Min, Sum
+    """mentions → nodes(entity_id, canonical_form, cat, mention_count).
+
+    Entity cardinality grows with the corpus, so the final reduce is a
+    bucketed aggregate (ops/shuffle.py) rather than Dataset.aggregate."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
     partials = mentions_ds.map_batches(mention_partials, batch_format="pyarrow")
-    agg = partials.groupby(["cat", "norm_key"]).aggregate(
-        Sum("n", alias_name="mention_count"),
-        Min("canonical_form", alias_name="canonical_form"),
-    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cat", "norm_key"], as_index=False).agg(
+            mention_count=("n", "sum"), canonical_form=("canonical_form", "min")
+        )
+        out["mention_count"] = out["mention_count"].astype("int64")
+        return out
+
+    agg = bucketed_aggregate(partials, ["cat", "norm_key"], reduce)
     nodes = agg.map_batches(add_entity_ids, batch_format="pyarrow").select_columns(
         ["entity_id", "canonical_form", "cat", "mention_count"]
     )
@@ -39,11 +49,19 @@ def build_nodes(mentions_ds, sort: bool = True):
 
 def build_edges(triples_ds, sort: bool = True):
     """triples → edges(subj_id, pred, obj_id, weight)."""
-    from ray.data.aggregate import Sum
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
     partials = triples_ds.map_batches(edge_partials, batch_format="pyarrow")
-    agg = partials.groupby(["subj_id", "pred", "obj_id"]).aggregate(
-        Sum("n", alias_name="weight")
-    )
-    edges = agg.select_columns(["subj_id", "pred", "obj_id", "weight"])
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+            weight=("n", "sum")
+        )
+        out["weight"] = out["weight"].astype("int64")
+        return out
+
+    edges = bucketed_aggregate(partials, ["subj_id", "pred", "obj_id"], reduce)
+    edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
     return edges.sort(["subj_id", "pred", "obj_id"]) if sort else edges

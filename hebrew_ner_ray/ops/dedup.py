@@ -59,16 +59,30 @@ def exact_hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedup_exact(sf_dir: str):
-    """One row per distinct text: (text_hash, canonical_doc_id, n_dups)."""
+    """One row per distinct text: (text_hash, canonical_doc_id, n_dups).
+
+    Per-batch combiner first (one row per hash per batch), then a bucketed
+    aggregate — distinct-hash cardinality ≈ corpus size at web scale."""
     import ray.data
-    from ray.data.aggregate import Count, Min
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    hashed = ds.map_batches(exact_hash_batch, batch_format="pandas")
-    return hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="canonical_doc_id"),
-        Count(alias_name="n_dups"),
-    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = exact_hash_batch(b)
+        return h.groupby("text_hash", as_index=False).agg(
+            canonical_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False).agg(
+            canonical_doc_id=("canonical_doc_id", "min"), n_dups=("n_dups", "sum")
+        )
+
+    return bucketed_aggregate(partials, ["text_hash"], reduce)
 
 
 # --- shingle explode (shared by jaccard + minhash) ---
@@ -147,19 +161,21 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
         )
 
     pairs = exploded.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
-    counted = pairs.groupby(["a", "b"]).aggregate(
-        Sum("inter", alias_name="inter"),
-        Max("size_a", alias_name="size_a"),
-        Max("size_b", alias_name="size_b"),
-    )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        union = batch["size_a"] + batch["size_b"] - batch["inter"]
-        j = batch["inter"] / union  # threshold on the unrounded value (SQL parity)
-        out = pd.DataFrame({"a": batch["a"], "b": batch["b"], "jaccard": j.round(6)})
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["a", "b"], as_index=False).agg(
+            inter=("inter", "sum"), size_a=("size_a", "max"), size_b=("size_b", "max")
+        )
+        union = c["size_a"] + c["size_b"] - c["inter"]
+        j = c["inter"] / union  # threshold on the unrounded value (SQL parity)
+        out = pd.DataFrame({"a": c["a"], "b": c["b"], "jaccard": j.round(6)})
         return out[(j >= threshold).to_numpy()]
 
-    return counted.map_batches(finish, batch_format="pandas")
+    # pair-key cardinality ~ candidate count → bucketed aggregate, not
+    # Dataset.aggregate (per-distinct-key reduce overhead — ops/shuffle.py)
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+
+    return bucketed_aggregate(pairs, ["a", "b"], reduce_pairs)
 
 
 # --- minhash LSH ---
@@ -201,7 +217,9 @@ def dedup_minhash(sf_dir: str):
         return pair_fn(g).drop_duplicates()
 
     pairs = bands.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+
+    return bucketed_aggregate(pairs, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
 
 
 # --- simhash ---
