@@ -56,3 +56,62 @@ def evaluate_datasets(partials_ds) -> pd.DataFrame:
         for c in ("corr_tok", "n_tok", "n_pred", "n_gold", "n_correct")
     }
     return finalize(totals)
+
+
+def _f1(n_pred: int, n_gold: int, n_corr: int) -> float:
+    p = n_corr / n_pred if n_pred else 0.0
+    r = n_corr / n_gold if n_gold else 0.0
+    return 2 * p * r / (p + r) if (p + r) else 0.0
+
+
+def bootstrap_ci(partials: pd.DataFrame, n_boot: int = 1000, alpha: float = 0.05,
+                 seed: int = 42):
+    """Percentile bootstrap CI over per-sentence partial counts —
+    reference `bootstrap` (utils/eval/conf_interval.py:17-31): resample
+    sentences with replacement, recompute F1, take the (α/2, 1-α/2)
+    percentiles. Driver-side by design (eval corpora are small); the
+    per-sentence counts themselves come from the distributed pass.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(partials)
+    cols = partials[["n_pred", "n_gold", "n_correct"]].to_numpy()
+    f1s = np.empty(n_boot)
+    for b in range(n_boot):
+        idx = rng.integers(0, n, n)
+        s = cols[idx].sum(axis=0)
+        f1s[b] = _f1(int(s[0]), int(s[1]), int(s[2]))
+    lo, hi = np.percentile(f1s, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return float(lo), float(hi)
+
+
+def normal_approx_interval(f1: float, n_gold: int, alpha_z: float = 1.96):
+    """Normal-approximation CI half-width for an F-score — reference
+    `norm_approx_int` (utils/eval/conf_interval.py:34-45)."""
+    import math
+
+    return alpha_z * math.sqrt(f1 * (1 - f1) / max(n_gold, 1))
+
+
+def evaluate_morpheme_composite(morph_pred, morph_gold, splitting):
+    """A10 (utils/ner.py:539-553): morph-vs-morph plus merged-to-single
+    metrics, given per-sentence morpheme label lists and the per-sentence
+    morphemes-per-token splitting."""
+    from hebrew_ner_ray.labels.algebra import MULTI_DELIM
+
+    m2m = sentence_counts([l for s in morph_pred for l in s],
+                          [l for s in morph_gold for l in s])
+
+    def merge(labels_sent, split_sent):
+        out, pos = [], 0
+        for k in split_sent:
+            joined = MULTI_DELIM.join(labels_sent[pos : pos + k])
+            out.append(validate_multi_to_single(joined)[0])
+            pos += k
+        return out
+
+    merged_pred = [l for mp, sp in zip(morph_pred, splitting) for l in merge(mp, sp)]
+    merged_gold = [l for mg, sp in zip(morph_gold, splitting) for l in merge(mg, sp)]
+    m2s = sentence_counts(merged_pred, merged_gold)
+    return m2m, m2s

@@ -47,6 +47,27 @@ def merge_labels_by_origin(
     return out
 
 
+def merge_labels_by_splitting(
+    morph_words: Sequence[str], morph_labels: Sequence[str], splitting: Sequence[int],
+    validate: bool = False, delim: str = MULTI_DELIM,
+) -> List[Tuple[str, str]]:
+    """Consume the morpheme stream according to a per-token morpheme-count
+    list, emitting (merged_word, joined_label) per token — the reference's
+    `merge_morph_from_multi_spliting` (utils/ner.py:117-143) queue logic,
+    including the caret-joined merged word."""
+    out: List[Tuple[str, str]] = []
+    pos = 0
+    for split in splitting:
+        words = list(morph_words[pos : pos + split])
+        labels = list(morph_labels[pos : pos + split])
+        pos += split
+        lab = delim.join(labels)
+        if validate:
+            lab = validate_multi_to_single(lab, delim)[0]
+        out.append((delim.join(words), lab))
+    return out
+
+
 def merge_words_by_origin(forms: Sequence[str], origins: Sequence[int], n_tokens: int) -> List[str]:
     """Reassemble token surfaces from morpheme forms (same grouping)."""
     per_token: List[List[str]] = [[] for _ in range(n_tokens)]
