@@ -101,7 +101,10 @@ def run_benchmarks() -> dict:
 def run_scaling() -> dict:
     """Same job at two parallelism levels in fresh processes."""
     def run(ncpu: int) -> dict:
+        # larger corpus for the scaling criterion so steady-state compute
+        # dominates fixed startup costs at both parallelism levels
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_REPLICAS", "800")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

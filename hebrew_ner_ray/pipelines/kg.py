@@ -15,11 +15,14 @@ from hebrew_ner_ray.kg.canonical import build_edges, build_nodes
 from hebrew_ner_ray.pipelines.stages import AnnotateBatch, filter_text_spans
 from hebrew_ner_ray.sources.interleaved import flatten_spans, read_interleaved
 
-DEFAULT_BATCH_SIZE = 2048
+DEFAULT_BATCH_SIZE = 8192  # spans per annotate dispatch; large enough that
+# per-batch dispatch overhead amortizes, small enough for pool balance
 
 
 def text_spans(sf_dir: str, replicas: int = 1):
-    docs = read_interleaved(sf_dir, replicas=replicas)
+    # media_refs=False: text-only consumers never see media spans, so the
+    # per-span md5 is pruned at the source
+    docs = read_interleaved(sf_dir, replicas=replicas, media_refs=False)
     return flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
 
 
@@ -69,23 +72,24 @@ def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: in
     ids BEFORE span generation, so skipped partitions cost nothing (at
     real scale this is the input-fragment pruning step)."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
     from hebrew_ner_ray.sources.interleaved import flatten_spans, generate_docs_batch
 
-    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    total = n * replicas
+    ids_ds = ray.data.range(total, override_num_blocks=max(8, min(total // 4096 + 1, 2048)))
 
     def gen_partition(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        if replicas > 1:
-            n = len(ids)  # per-batch replica expansion keeps blocks bounded
-            ids = (ids[None, :] + (np.arange(replicas) * n)[:, None]).reshape(-1)
-        ids = ids[ids % n_partitions == partition]
-        return generate_docs_batch({"doc_id": ids})
+        ids = batch.column("id").to_numpy()
+        ids = ids[ids % n_partitions == partition]  # prune before generation
+        return generate_docs_batch({"doc_id": ids}, media_refs=False)
 
-    docs = base.map_batches(gen_partition, batch_format="pyarrow")
+    docs = ids_ds.map_batches(gen_partition, batch_format="pyarrow", batch_size=4096,
+                              num_cpus=0.9)
     spans = flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
     return spans.map_batches(
         AnnotateBatch,

@@ -52,9 +52,11 @@ class AnnotateBatch:
         self.emit = emit
         self.tagger = SentenceTagger()
         self.index = self.tagger.index
-        from collections import OrderedDict
-
-        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._cache: dict[str, tuple[int, int]] = {}
+        self._lib_parts: List[pa.Table] = []
+        self._lib: pa.Table | None = None
+        self._lib_len = 0
+        self._lib_dirty = True
 
     # --- per-sentence payload: token-level (or row-level) columns, no keys ---
 
@@ -120,52 +122,67 @@ class AnnotateBatch:
                 "pred": [t.pred for t in ts], "obj": [t.obj for t in ts],
                 "subj_cat": [t.subj_cat for t in ts], "obj_cat": [t.obj_cat for t in ts]}
 
-    def _payload(self, text: str) -> dict:
-        cached = self._cache.get(text)
-        if cached is not None:
-            self._cache.move_to_end(text)
-            return cached
+    def _lib_entry(self, text: str):
+        """(start, length) of the text's payload rows in the library table."""
+        hit = self._cache.get(text)
+        if hit is not None:
+            return hit
         p = self._compute_payload(text)
-        self._cache[text] = p
-        if len(self._cache) > self.CACHE_SIZE:
-            self._cache.popitem(last=False)
-        return p
+        cols = _EMIT_SCHEMAS[self.emit][2:]
+        k = len(next(iter(p.values()))) if p else 0
+        tbl = pa.Table.from_pydict(
+            {name: pa.array(p[name], type=t) for name, t in cols},
+            schema=pa.schema(cols),
+        )
+        start = self._lib_len
+        self._lib_parts.append(tbl)
+        self._lib_len += k
+        self._lib_dirty = True
+        entry = (start, k)
+        self._cache[text] = entry
+        # NOTE: no eviction — entries are offsets into an append-only library;
+        # memory is bounded by distinct-text payload volume per actor, which a
+        # production deployment caps by periodically recreating the pool.
+        return entry
+
+    def _library(self) -> pa.Table:
+        if self._lib_dirty:
+            self._lib = pa.concat_tables(self._lib_parts).combine_chunks()
+            self._lib_dirty = False
+        return self._lib
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
-        span_ords = batch.column("span_ord").to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch.column("text").to_pylist()
 
-        # group row positions by distinct text
-        by_text: dict[str, List[int]] = {}
-        for pos, t in enumerate(texts):
-            by_text.setdefault(t, []).append(pos)
+        import pandas as pd
 
-        key_doc: List[np.ndarray] = []
-        key_span: List[np.ndarray] = []
-        payload_cols: dict[str, List] = {}
-        for text, positions in by_text.items():
-            p = self._payload(text)
-            k = len(next(iter(p.values()))) if p else 0
-            if k == 0:
-                continue
-            pos_arr = np.asarray(positions, dtype=np.int64)
-            key_doc.append(np.repeat(doc_ids[pos_arr], k))
-            key_span.append(np.repeat(span_ords[pos_arr], k))
-            for name, vals in p.items():
-                payload_cols.setdefault(name, []).append(
-                    np.tile(np.asarray(vals, dtype=object), len(positions))
-                )
+        codes, uniques = pd.factorize(pd.array(texts), use_na_sentinel=False)
+        entries = [self._lib_entry(t) for t in uniques]
+        starts = np.asarray([e[0] for e in entries], dtype=np.int64)
+        lens = np.asarray([e[1] for e in entries], dtype=np.int64)
 
-        if not key_doc:
+        row_starts = starts[codes]
+        row_lens = lens[codes]
+        total = int(row_lens.sum())
+        if total == 0:
             return _empty_table(self.emit)
+
+        # gather indices into the payload library (vectorized ragged arange)
+        seg_starts = np.cumsum(row_lens) - row_lens
+        gather = (
+            np.repeat(row_starts, row_lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(seg_starts, row_lens)
+        )
+        row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), row_lens)
+
+        payload = self._library().take(pa.array(gather))
         out = {
-            "doc_id": pa.array(np.concatenate(key_doc), type=pa.string()),
-            "span_ord": pa.array(np.concatenate(key_span), type=pa.int64()),
+            "doc_id": batch.column("doc_id").take(pa.array(row_idx)),
+            "span_ord": batch.column("span_ord").take(pa.array(row_idx)).cast(pa.int64()),
         }
-        for name, _t in _EMIT_SCHEMAS[self.emit][2:]:
-            vals = np.concatenate(payload_cols[name])
-            out[name] = pa.array(vals, type=_t)
+        for name in payload.column_names:
+            out[name] = payload.column(name)
         return pa.table(out)
 
 

@@ -51,12 +51,14 @@ def doc_id_str(ids: np.ndarray) -> np.ndarray:
     return np.asarray([f"doc-{i:08d}" for i in ids], dtype=object)
 
 
-def span_fields(ids: np.ndarray):
+def span_fields(ids: np.ndarray, media_refs: bool = True):
     """Vectorized span attributes for a batch of integer doc ids.
 
     Returns (offsets, kind, text, media_ref, span_ord, parent_pos) where
     ``offsets`` are pyarrow list offsets into the flat arrays and
     ``parent_pos`` maps each span to its position in ``ids``.
+    ``media_refs=False`` skips the per-span md5 (source-side column
+    pruning for text-only consumers — media spans are filtered anyway).
     """
     ids = np.asarray(ids, dtype=np.int64)
     n_spans = 1 + (ids * 7 + 3) % 8
@@ -75,21 +77,25 @@ def span_fields(ids: np.ndarray):
     text = np.where(is_text, _POOL[template], "").astype(object)
 
     media_ref = np.full(total, "", dtype=object)
-    doc_strs = doc_id_str(i)
-    for k in np.flatnonzero(~is_text):
-        h = hashlib.md5(f"{doc_strs[k]}-{j[k]}".encode()).hexdigest()
-        media_ref[k] = f"media://{h}"
+    if media_refs:
+        media_pos = np.flatnonzero(~is_text)
+        if len(media_pos):
+            doc_strs = doc_id_str(i[media_pos])
+            jj = j[media_pos]
+            for n, k in enumerate(media_pos):
+                h = hashlib.md5(f"{doc_strs[n]}-{jj[n]}".encode()).hexdigest()
+                media_ref[k] = f"media://{h}"
 
     return offsets, kind, text, media_ref, j, parent_pos
 
 
-def generate_docs_batch(batch: "pa.Table | dict") -> pa.Table:
+def generate_docs_batch(batch: "pa.Table | dict", media_refs: bool = True) -> pa.Table:
     """``map_batches`` transform: integer ids → interleaved doc rows."""
     if isinstance(batch, dict):
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
     else:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets, kind, text, media_ref, span_ord, _parent = span_fields(ids)
+    offsets, kind, text, media_ref, span_ord, _parent = span_fields(ids, media_refs=media_refs)
     struct = pa.StructArray.from_arrays(
         [
             pa.array(kind, type=pa.string()),
@@ -105,7 +111,7 @@ def generate_docs_batch(batch: "pa.Table | dict") -> pa.Table:
     )
 
 
-def read_interleaved(sf_dir: str, replicas: int = 1):
+def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True):
     """Dataset of interleaved docs anchored to the testdata ``documents`` ids.
 
     ``replicas > 1`` scales the corpus for benchmarking: each base id d
@@ -113,24 +119,27 @@ def read_interleaved(sf_dir: str, replicas: int = 1):
     Column-pruned read: only ``doc_id`` leaves the parquet file.
     """
     import pyarrow.parquet as pq
+    import ray
     import ray.data
 
     path = f"{sf_dir}/documents.parquet"
-    if replicas <= 1:
-        base = ray.data.read_parquet(path, columns=["doc_id"])
-        return base.map_batches(generate_docs_batch, batch_format="pyarrow")
+    n = pq.read_metadata(path).num_rows  # documents ids are 0..n-1 (verified
+    # by tests against the actual column); the id stream is generated as a
+    # range dataset because a single-row-group parquet file reads as ONE
+    # block, which would serialize the whole downstream chain. range()
+    # creates real block parallelism (one generation task per ~4096 docs).
+    total = n * replicas
+    n_blocks = max(8, min(total // 4096 + 1, 2048))
+    ids = ray.data.range(total, override_num_blocks=n_blocks)
 
-    n = pq.read_metadata(path).num_rows
+    # NOTE: generation runs with num_cpus=0.9 so Ray does NOT fuse it into a
+    # downstream actor-pool op — fused, the actor op's batch_size would be
+    # accounted against PRE-flatten doc rows and collapse pool parallelism.
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_docs_batch({"doc_id": batch.column("id").to_numpy()},
+                                   media_refs=media_refs)
 
-    def expand(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        all_ids = (ids[None, :] + (np.arange(replicas) * n)[:, None]).reshape(-1)
-        return pa.table({"doc_id": all_ids})
-
-    base = ray.data.read_parquet(path, columns=["doc_id"])
-    return base.map_batches(expand, batch_format="pyarrow").map_batches(
-        generate_docs_batch, batch_format="pyarrow"
-    )
+    return ids.map_batches(gen, batch_format="pyarrow", batch_size=4096, num_cpus=0.9)
 
 
 def flatten_spans(docs) -> "object":
