@@ -14,6 +14,16 @@ def graph(ray_session):
     return nodes.to_pandas(), edges.to_pandas()
 
 
+def test_documents_ids_are_contiguous_range():
+    # read_interleaved substitutes ray.data.range for the documents id
+    # column (block parallelism); valid only while ids are exactly 0..n-1
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = sorted(t.column("doc_id").to_pylist())
+    assert ids == list(range(len(ids)))
+
+
 def test_docs_schema(ray_session):
     from hebrew_ner_ray.sources.interleaved import DOCS_SCHEMA, read_interleaved
 
