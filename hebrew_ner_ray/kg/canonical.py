@@ -22,6 +22,36 @@ def _rename_for(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return table.rename_columns([mapping.get(c, c) for c in table.column_names])
 
 
+def graph_from_kg_rows(kg_ds, sort: bool = True):
+    """(nodes, edges) from a single-pass ``emit='kg'`` dataset (union rows
+    tagged ``row_type`` 'm'/'t') — annotation runs ONCE for the whole
+    graph build; the two aggregations read the shared materialized rows.
+    """
+    import pyarrow.compute as pc
+
+    kg_ds = kg_ds.materialize()  # reused by both branches; at petabyte scale
+    # this is a parquet checkpoint instead (build_graph_resumable)
+
+    def only(row_type):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("row_type"), row_type))
+
+        return f
+
+    mentions = kg_ds.map_batches(only("m"), batch_format="pyarrow")
+
+    def as_triples(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("row_type"), "t"))
+        return pa.Table.from_arrays(
+            [t.column("norm_key"), t.column("cat"), t.column("pred"),
+             t.column("obj"), t.column("obj_cat")],
+            names=["subj", "subj_cat", "pred", "obj", "obj_cat"],
+        )
+
+    triples = kg_ds.map_batches(as_triples, batch_format="pyarrow")
+    return build_nodes(mentions, sort=sort), build_edges(triples, sort=sort)
+
+
 def build_nodes(mentions_ds, sort: bool = True):
     """mentions → nodes(entity_id, canonical_form, cat, mention_count).
 

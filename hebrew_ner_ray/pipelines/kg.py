@@ -50,10 +50,12 @@ def annotated(sf_dir: str, emit: str, replicas: int = 1, concurrency=None,
 
 
 def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = True):
-    """(nodes_ds, edges_ds) for the corpus."""
-    nodes = build_nodes(annotated(sf_dir, "mentions", replicas, concurrency), sort=sort)
-    edges = build_edges(annotated(sf_dir, "triples", replicas, concurrency), sort=sort)
-    return nodes, edges
+    """(nodes_ds, edges_ds) for the corpus — single annotation pass
+    (emit='kg' union rows), both aggregations off the shared rows."""
+    from hebrew_ner_ray.kg.canonical import graph_from_kg_rows
+
+    kg_rows = annotated(sf_dir, "kg", replicas, concurrency)
+    return graph_from_kg_rows(kg_rows, sort=sort)
 
 
 def write_graph(sf_dir: str, out_dir: str, replicas: int = 1, concurrency=None):

@@ -26,7 +26,7 @@ from hebrew_ner_ray.ner.tagger import SentenceTagger
 from hebrew_ner_ray.text.tokenizer import text_to_token_sentences
 
 EMIT_MODES = ("tokens", "single", "multi", "morph", "hybrid", "mentions", "triples",
-              "eval", "groupings")
+              "eval", "groupings", "kg")
 
 
 class AnnotateBatch:
@@ -115,12 +115,25 @@ class AnnotateBatch:
                     "surface": [m.surface for m in ms],
                     "core_surface": [m.core_surface for m in ms],
                     "norm_key": [m.norm_key for m in ms]}
-        # triples
+        if emit == "triples":
+            ms = mentions_from_sentence(tokens, matches)
+            ts = triples_from_mentions(tokens, ms)
+            return {"triple_ord": list(range(len(ts))), "subj": [t.subj for t in ts],
+                    "pred": [t.pred for t in ts], "obj": [t.obj for t in ts],
+                    "subj_cat": [t.subj_cat for t in ts], "obj_cat": [t.obj_cat for t in ts]}
+        # kg: mentions + triples in ONE pass (union rows tagged by row_type) —
+        # halves the expensive annotation stage for the full graph build
         ms = mentions_from_sentence(tokens, matches)
         ts = triples_from_mentions(tokens, ms)
-        return {"triple_ord": list(range(len(ts))), "subj": [t.subj for t in ts],
-                "pred": [t.pred for t in ts], "obj": [t.obj for t in ts],
-                "subj_cat": [t.subj_cat for t in ts], "obj_cat": [t.obj_cat for t in ts]}
+        return {
+            "row_type": ["m"] * len(ms) + ["t"] * len(ts),
+            "cat": [m.cat for m in ms] + [t.subj_cat for t in ts],
+            "norm_key": [m.norm_key for m in ms] + [t.subj for t in ts],
+            "core_surface": [m.core_surface for m in ms] + [""] * len(ts),
+            "pred": [""] * len(ms) + [t.pred for t in ts],
+            "obj": [""] * len(ms) + [t.obj for t in ts],
+            "obj_cat": [""] * len(ms) + [t.obj_cat for t in ts],
+        }
 
     def _lib_entry(self, text: str):
         """(start, length) of the text's payload rows in the library table."""
@@ -224,6 +237,9 @@ _EMIT_SCHEMAS = {
              ("n_correct", pa.int64())],
     "groupings": [("doc_id", pa.string()), ("span_ord", pa.int64()), ("group_ord", pa.int64()),
                   ("grouped_word", pa.string()), ("n_morphs", pa.int64())],
+    "kg": [("doc_id", pa.string()), ("span_ord", pa.int64()), ("row_type", pa.string()),
+           ("cat", pa.string()), ("norm_key", pa.string()), ("core_surface", pa.string()),
+           ("pred", pa.string()), ("obj", pa.string()), ("obj_cat", pa.string())],
 }
 
 
