@@ -122,6 +122,40 @@ def bmes_lines(sentences: List[List[tuple]]) -> str:
     return "\n\n".join(blocks) + "\n\n"
 
 
+def nbest_lines(sentences, labelings, scores) -> str:
+    """N-best decode format (reference utils/data.py:399-442
+    `write_nbest_decoded_results`): per sentence a ``# s1 s2 …`` score
+    header (4 decimals), then one line per token with the word followed by
+    its label under each of the n hypotheses, blank line between sentences.
+
+    ``sentences``: list of token lists; ``labelings``: per sentence a list
+    of n label-sequences; ``scores``: per sentence a list of n floats.
+    """
+    blocks = []
+    for tokens, hyps, ss in zip(sentences, labelings, scores):
+        header = "# " + " ".join(format(s, ".4f") for s in ss)
+        lines = [header.strip()]
+        for idy, tok in enumerate(tokens):
+            lines.append((tok + " " + " ".join(h[idy] for h in hyps)).strip())
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks) + "\n"
+
+
+def nbest_from_matches(tokens, matches) -> tuple:
+    """Deterministic n-best hypotheses from gazetteer matches: the k-th
+    hypothesis drops the k rightmost matches (scores decay geometrically).
+    A stand-in for CRF ``decode_nbest`` (reference model/seqlabel.py:72-80)
+    with the same output contract."""
+    from hebrew_ner_ray.ner.tagger import token_single_labels
+
+    hyps, scores = [], []
+    ms = sorted(matches, key=lambda m: m.lo)
+    for k in range(len(ms), -1, -1):
+        hyps.append(token_single_labels(len(tokens), ms[:k]))
+        scores.append(round(0.5 ** (len(ms) - k), 4))
+    return hyps, scores
+
+
 def write_bmes(ds, path: str) -> None:
     """Materialize a (sent_id, word_idx, word, label) dataset to one BMES
     file (conformance-fixture sink — small outputs only)."""

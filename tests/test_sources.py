@@ -47,6 +47,25 @@ def test_bmes_ray_roundtrip(ray_session, tmp_path):
     )
 
 
+def test_nbest_format():
+    from hebrew_ner_ray.ner.tagger import SentenceTagger
+    from hebrew_ner_ray.sources.bmes import nbest_from_matches, nbest_lines
+
+    t = SentenceTagger()
+    tokens = ["רבין", "נאם", "בכנסת", "."]
+    matches = t.match(tokens)
+    hyps, scores = nbest_from_matches(tokens, matches)
+    assert hyps[0] == t.tag_single(tokens)      # best hypothesis = full tagging
+    assert hyps[-1] == ["O"] * len(tokens)      # worst = all-O
+    assert scores[0] == 1.0 and scores[-1] < 1.0
+    text = nbest_lines([tokens], [hyps], [scores])
+    lines = text.strip().split("\n")
+    assert lines[0].startswith("# 1.0000")
+    # each token line: word + one label per hypothesis
+    assert len(lines[1].split()) == 1 + len(hyps)
+    assert len(lines) == 1 + len(tokens)
+
+
 # --- groupings rules (reference utils/ner.py:260-396 semantics) ---
 
 
