@@ -107,3 +107,20 @@ def test_sessionize_gap_boundary():
     out = _sessionize_group(g)
     assert out["session_id"].tolist() == [1, 2]  # 31m01s gap opens session 2
     assert out["n_events"].tolist() == [2, 1]
+
+
+def test_word_embedder_stage(ray_session):
+    from hebrew_ner_ray.ner.embedder import DEFAULT_DIM, WordEmbedder, embed_tokens, load_real_model
+    from hebrew_ner_ray.pipelines.kg import annotated
+
+    tokens = annotated(SF, "single")
+    out = embed_tokens(tokens).limit(50).to_pandas()
+    assert "embedding" in out.columns
+    v = np.asarray(out["embedding"].iloc[0])
+    assert v.shape == (DEFAULT_DIM,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # determinism across actors: same word -> same vector
+    e1, e2 = WordEmbedder(), WordEmbedder()
+    assert np.allclose(e1._vector("ישראל"), e2._vector("ישראל"))
+    with pytest.raises(NotImplementedError):
+        load_real_model("wiki.he.bin")
