@@ -22,34 +22,93 @@ def _rename_for(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return table.rename_columns([mapping.get(c, c) for c in table.column_names])
 
 
-def graph_from_kg_rows(kg_ds, sort: bool = True):
-    """(nodes, edges) from a single-pass ``emit='kg'`` dataset (union rows
-    tagged ``row_type`` 'm'/'t') — annotation runs ONCE for the whole
-    graph build; the two aggregations read the shared materialized rows.
-    """
+def kg_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner over single-pass ``emit='kg'`` rows: collapses
+    BOTH aggregate families (node counts, edge weights) into one small
+    union table tagged ``ptype`` — the annotate output is consumed in ONE
+    streaming pass and only these partials (≈ distinct keys per batch) are
+    ever materialized, so the big intermediate never pins memory."""
     import pyarrow.compute as pc
 
-    kg_ds = kg_ds.materialize()  # reused by both branches; at petabyte scale
-    # this is a parquet checkpoint instead (build_graph_resumable)
+    m = batch.filter(pc.equal(batch.column("row_type"), "m"))
+    t = batch.filter(pc.equal(batch.column("row_type"), "t"))
+    mp = mention_partials(m)  # cat, norm_key, canonical_form, n
+    tp = pa.Table.from_arrays(
+        [t.column("norm_key"), t.column("cat"), t.column("pred"),
+         t.column("obj"), t.column("obj_cat")],
+        names=["subj", "subj_cat", "pred", "obj", "obj_cat"],
+    )
+    ep = edge_partials(tp)  # subj_id, pred, obj_id, n
+    n_m, n_e = mp.num_rows, ep.num_rows
+    return pa.table(
+        {
+            "ptype": pa.array(["node"] * n_m + ["edge"] * n_e),
+            "cat": pa.concat_arrays([mp.column("cat").combine_chunks(),
+                                     pa.nulls(n_e, pa.string())]),
+            "norm_key": pa.concat_arrays([mp.column("norm_key").combine_chunks(),
+                                          pa.nulls(n_e, pa.string())]),
+            "canonical_form": pa.concat_arrays([mp.column("canonical_form").combine_chunks(),
+                                                pa.nulls(n_e, pa.string())]),
+            "subj_id": pa.concat_arrays([pa.nulls(n_m, pa.int64()),
+                                         ep.column("subj_id").combine_chunks()]),
+            "pred": pa.concat_arrays([pa.nulls(n_m, pa.string()),
+                                      ep.column("pred").combine_chunks()]),
+            "obj_id": pa.concat_arrays([pa.nulls(n_m, pa.int64()),
+                                        ep.column("obj_id").combine_chunks()]),
+            "n": pa.concat_arrays([mp.column("n").combine_chunks().cast(pa.int64()),
+                                   ep.column("n").combine_chunks().cast(pa.int64())]),
+        }
+    )
 
-    def only(row_type):
-        def f(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(batch.column("row_type"), row_type))
 
-        return f
+def graph_from_kg_rows(kg_ds, sort: bool = True):
+    """(nodes, edges) from a single-pass ``emit='kg'`` dataset: one
+    streaming consumption producing combined partials; only the partials
+    are materialized for the two final aggregations."""
+    import pandas as pd
+    import pyarrow.compute as pc
 
-    mentions = kg_ds.map_batches(only("m"), batch_format="pyarrow")
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
-    def as_triples(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch.column("row_type"), "t"))
-        return pa.Table.from_arrays(
-            [t.column("norm_key"), t.column("cat"), t.column("pred"),
-             t.column("obj"), t.column("obj_cat")],
-            names=["subj", "subj_cat", "pred", "obj", "obj_cat"],
+    partials = kg_ds.map_batches(kg_partials, batch_format="pyarrow").materialize()
+
+    node_part = partials.map_batches(
+        lambda b: b.filter(pc.equal(b.column("ptype"), "node")).select(
+            ["cat", "norm_key", "canonical_form", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cat", "norm_key"], as_index=False).agg(
+            mention_count=("n", "sum"), canonical_form=("canonical_form", "min")
         )
+        out["mention_count"] = out["mention_count"].astype("int64")
+        return out
 
-    triples = kg_ds.map_batches(as_triples, batch_format="pyarrow")
-    return build_nodes(mentions, sort=sort), build_edges(triples, sort=sort)
+    nodes = bucketed_aggregate(node_part, ["cat", "norm_key"], node_reduce)
+    nodes = nodes.map_batches(add_entity_ids, batch_format="pyarrow").select_columns(
+        ["entity_id", "canonical_form", "cat", "mention_count"]
+    )
+
+    edge_part = partials.map_batches(
+        lambda b: b.filter(pc.equal(b.column("ptype"), "edge")).select(
+            ["subj_id", "pred", "obj_id", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def edge_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(weight=("n", "sum"))
+        out["weight"] = out["weight"].astype("int64")
+        return out
+
+    edges = bucketed_aggregate(edge_part, ["subj_id", "pred", "obj_id"], edge_reduce)
+    edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
+    if sort:
+        nodes = nodes.sort("entity_id")
+        edges = edges.sort(["subj_id", "pred", "obj_id"])
+    return nodes, edges
 
 
 def build_nodes(mentions_ds, sort: bool = True):
