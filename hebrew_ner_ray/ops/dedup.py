@@ -222,6 +222,116 @@ def dedup_minhash(sf_dir: str):
     return bucketed_aggregate(pairs, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
 
 
+# --- connected components over near-dup pairs ---
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Cluster assignment for near-duplicate documents: connected
+    components over the jaccard-pair graph.
+
+    The pair set is provably small (LSH/threshold pruning bounds it), so
+    components run as driver-side union-find over the materialized pairs —
+    the pattern ray_guide §aggregation sanctions for small candidate sets.
+    ``dedup_clusters_distributed`` is the all-groupby variant for when the
+    pair graph itself is too large to collect.
+
+    Output: (doc_id, cluster_id) for every doc in ≥1 pair; cluster_id =
+    min doc id of the component.
+    """
+    import ray.data
+
+    pdf = dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"]).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min so the root IS the min doc id of the component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = sorted((node, find(node)) for node in parent)
+    out = pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5, max_rounds: int = 8):
+    """Connected components via iterative min-label propagation — each
+    round one bucketed hash join (label→peer) + one bucketed min-
+    aggregate; convergence detected with a cheap sum (labels only ever
+    decrease). Use when the pair graph is too large to collect."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+
+    pairs = dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"])
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([b["a"], b["b"]], ignore_index=True).astype("int64"),
+                "peer": pd.concat([b["b"], b["a"]], ignore_index=True).astype("int64"),
+            }
+        )
+
+    edges = pairs.map_batches(undirect, batch_format="pandas").materialize()
+
+    labels = bucketed_aggregate(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "lbl": b["node"]}),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda g: g.groupby("node", as_index=False).agg(lbl=("lbl", "min")),
+    ).materialize()
+
+    prev_sum = labels.sum("lbl")
+    for _ in range(max_rounds):
+        # propagate: every edge carries its node's label to the peer —
+        # a bucketed hash join (label ∪ edge rows grouped by node)
+        def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["peer"].isna()][["node", "lbl"]]
+            edg = g[g["peer"].notna()][["node", "peer"]]
+            m = edg.merge(lab, on="node")
+            return pd.DataFrame({"node": m["peer"].astype("int64"), "lbl": m["lbl"].astype("int64")})
+
+        tagged_labels = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "peer": pd.array([None] * len(b), dtype="Int64"),
+                                    "lbl": b["lbl"]}),
+            batch_format="pandas",
+        )
+        tagged_edges = edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "peer": b["peer"].astype("Int64"),
+                                    "lbl": pd.array([None] * len(b), dtype="Int64")}),
+            batch_format="pandas",
+        )
+        propagated = bucketed_aggregate(
+            tagged_labels.union(tagged_edges), ["node"], join_bucket
+        )
+        merged = bucketed_aggregate(
+            labels.union(propagated),
+            ["node"],
+            lambda g: g.groupby("node", as_index=False).agg(lbl=("lbl", "min")),
+        ).materialize()
+        new_sum = merged.sum("lbl")
+        labels = merged
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["node"].astype("int64"),
+                                "cluster_id": b["lbl"].astype("int64")}),
+        batch_format="pandas",
+    )
+
+
 # --- simhash ---
 
 

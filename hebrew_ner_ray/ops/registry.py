@@ -57,6 +57,7 @@ def ops_queries():
         "dedup_jaccard": _wrap(dedup.dedup_jaccard),
         "dedup_minhash": _wrap(dedup.dedup_minhash),
         "dedup_simhash": _wrap(dedup.dedup_simhash),
+        "dedup_clusters": _wrap(dedup.dedup_clusters),
         "sim_ann_topk": _wrap(similarity.ann_topk),
         "sim_embedding_pairs": _wrap(similarity.embedding_pairs),
         "sim_ivf_topk": _wrap(similarity.ivf_topk),  # approximate → rows-only
@@ -68,6 +69,46 @@ def ops_queries():
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col → rows-only
     }
+
+
+def _sql_clusters(rounds: int = 8) -> str:
+    """Min-label propagation unrolled ``rounds`` times — exact for
+    components of diameter ≤ rounds (the Ray side iterates to convergence;
+    near-dup clusters are tiny by construction)."""
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"l{r-1}"
+        steps.append(
+            f"""l{r} AS (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl FROM {prev}
+    UNION ALL
+    SELECT e.peer AS node, {prev}.lbl FROM e JOIN {prev} ON e.node = {prev}.node
+  ) GROUP BY node
+)"""
+        )
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, which would
+    # re-evaluate the whole shingle pipeline once per unrolled round
+    return f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ok_sh AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) BETWEEN 2 AND {HOT_SHINGLE_CAP}),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT p.a, p.b FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+),
+e AS MATERIALIZED (SELECT a AS node, b AS peer FROM pairs UNION ALL SELECT b, a FROM pairs),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM e),
+{",".join(steps)}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS cluster_id FROM l{rounds}
+"""
 
 
 def ops_oracles():
@@ -153,6 +194,7 @@ SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
 FROM bands a JOIN bands b USING (band, bucket) JOIN grp USING (band, bucket)
 WHERE a.doc_id < b.doc_id
 """,
+        "dedup_clusters": _sql_clusters(),
         "dedup_simhash": f"""
 WITH {_TOKS_CTE},
 u AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
