@@ -48,6 +48,11 @@ def ops_queries():
 
     from hebrew_ner_ray.ops import textstats
 
+    def _curation(sf_dir: str):
+        from hebrew_ner_ray.ops.curation import curated_docs
+
+        return curated_docs(sf_dir)
+
     return {
         "text_token_count": _docs_map(textstats.token_count_batch),
         "text_lang_id": _docs_map(textstats.lang_id_batch),
@@ -68,6 +73,7 @@ def ops_queries():
         "pricing_summary": _wrap(relational.pricing_summary),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col → rows-only
+        "corpus_curation": _curation,
     }
 
 
@@ -108,6 +114,31 @@ e AS MATERIALIZED (SELECT a AS node, b AS peer FROM pairs UNION ALL SELECT b, a 
 l0 AS (SELECT DISTINCT node, node AS lbl FROM e),
 {",".join(steps)}
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS cluster_id FROM l{rounds}
+"""
+
+
+def _sql_curation() -> str:
+    clusters = _sql_clusters()
+    # wrap the clusters statement as a subquery (strip nothing; it is a
+    # complete SELECT with its own WITH)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH clusters AS MATERIALIZED ({clusters}),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+near_losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+u AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+ag AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+  FROM u GROUP BY doc_id
+)
+SELECT CAST(ag.doc_id AS BIGINT) AS doc_id, CAST(ag.n_tokens AS BIGINT) AS n_tokens
+FROM ag
+JOIN exact_keep k ON k.doc_id = ag.doc_id
+WHERE ag.doc_id NOT IN (SELECT doc_id FROM near_losers)
+  AND ag.n_tokens BETWEEN 5 AND 1000
+  AND ag.n_stop * 1.0 / ag.n_tokens < 0.5
 """
 
 
@@ -285,6 +316,7 @@ WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
     }
+    oracles["corpus_curation"] = _sql_curation()
     media_w = sql_stable_id("media_ref")
     media_h = sql_stable_id("media_ref || '#h'")
     media_d = sql_stable_id("media_ref || '#d'")
