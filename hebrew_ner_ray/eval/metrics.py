@@ -9,7 +9,7 @@ cluster is five int64 counters per block.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import pandas as pd
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-from hebrew_ner_ray.morph.prefixes import PARTICLE_FORMS, default_split, split_for_core
+from hebrew_ner_ray.morph.prefixes import PARTICLE_FORMS, default_split
 from hebrew_ner_ray.ner.gazetteer import GazetteerIndex, Match
 from hebrew_ner_ray.text.hebrew import collapse_leading_double_vav, normalise_final_letters
 

@@ -24,7 +24,6 @@ reproducible in the DuckDB oracles.
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
 
 import numpy as np
 import pandas as pd

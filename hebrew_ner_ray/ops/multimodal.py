@@ -14,7 +14,6 @@ NotImplementedError to mark the boundary.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from hebrew_ner_ray.kg.ids import stable_id
