@@ -64,6 +64,16 @@ def run_benchmarks() -> dict:
 
     n_docs = read_interleaved(SF_DIR, replicas=REPLICAS).count()
 
+    # cache-defeating variant: every sentence distinct → true per-sentence
+    # tagger throughput (the 16-template corpus otherwise amortizes to
+    # payload replication). Fixed pool: autoscaling ramps too slowly for
+    # compute-heavy batches.
+    def kg_diverse():
+        return annotated(SF_DIR, "mentions", replicas=REPLICAS,
+                         diversify=True, concurrency=max(2, NUM_CPUS * 7 // 8)).count()
+
+    timed("annotate_diverse", kg_diverse)
+
     # per-family representatives
     def q_hybrid():
         return annotated(SF_DIR, "hybrid", replicas=4).count()

@@ -19,10 +19,11 @@ DEFAULT_BATCH_SIZE = 8192  # spans per annotate dispatch; large enough that
 # per-batch dispatch overhead amortizes, small enough for pool balance
 
 
-def text_spans(sf_dir: str, replicas: int = 1):
+def text_spans(sf_dir: str, replicas: int = 1, diversify: bool = False):
     # media_refs=False: text-only consumers never see media spans, so the
     # per-span md5 is pruned at the source
-    docs = read_interleaved(sf_dir, replicas=replicas, media_refs=False)
+    docs = read_interleaved(sf_dir, replicas=replicas, media_refs=False,
+                            diversify=diversify)
     return flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
 
 
@@ -36,10 +37,10 @@ def default_concurrency() -> tuple[int, int]:
 
 
 def annotated(sf_dir: str, emit: str, replicas: int = 1, concurrency=None,
-              batch_size: int = DEFAULT_BATCH_SIZE):
+              batch_size: int = DEFAULT_BATCH_SIZE, diversify: bool = False):
     """Annotation over text spans — an autoscaling actor pool (stateful
     stage: the gazetteer index is built once per actor)."""
-    spans = text_spans(sf_dir, replicas=replicas)
+    spans = text_spans(sf_dir, replicas=replicas, diversify=diversify)
     return spans.map_batches(
         AnnotateBatch,
         fn_constructor_kwargs={"emit": emit},

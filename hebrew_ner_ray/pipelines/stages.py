@@ -135,30 +135,22 @@ class AnnotateBatch:
             "obj_cat": [""] * len(ms) + [t.obj_cat for t in ts],
         }
 
-    def _lib_entry(self, text: str):
-        """(start, length) of the text's payload rows in the library table."""
-        hit = self._cache.get(text)
-        if hit is not None:
-            return hit
+    LIB_ROW_LIMIT = 2_000_000  # reset the payload library past this many
+    # rows — bounds actor memory on fully-distinct corpora (cache hit rate
+    # is then ~0 anyway and compute dominates, which is correct)
+
+    def _payload_table(self, text: str) -> pa.Table:
         p = self._compute_payload(text)
         cols = _EMIT_SCHEMAS[self.emit][2:]
-        k = len(next(iter(p.values()))) if p else 0
-        tbl = pa.Table.from_pydict(
+        return pa.Table.from_pydict(
             {name: pa.array(p[name], type=t) for name, t in cols},
             schema=pa.schema(cols),
         )
-        start = self._lib_len
-        self._lib_parts.append(tbl)
-        self._lib_len += k
-        self._lib_dirty = True
-        entry = (start, k)
-        self._cache[text] = entry
-        # NOTE: no eviction — entries are offsets into an append-only library;
-        # memory is bounded by distinct-text payload volume per actor, which a
-        # production deployment caps by periodically recreating the pool.
-        return entry
 
     def _library(self) -> pa.Table:
+        # rebuilt lazily, and ONLY when a cached entry actually needs it —
+        # on fully-distinct corpora every batch serves itself locally and
+        # this concat never runs (it would be quadratic per batch otherwise)
         if self._lib_dirty:
             self._lib = pa.concat_tables(self._lib_parts).combine_chunks()
             self._lib_dirty = False
@@ -170,17 +162,75 @@ class AnnotateBatch:
         import pandas as pd
 
         codes, uniques = pd.factorize(pd.array(texts), use_na_sentinel=False)
-        entries = [self._lib_entry(t) for t in uniques]
-        starts = np.asarray([e[0] for e in entries], dtype=np.int64)
-        lens = np.asarray([e[1] for e in entries], dtype=np.int64)
+
+        if self._lib_len > self.LIB_ROW_LIMIT:
+            self._cache.clear()
+            self._lib_parts = []
+            self._lib = None
+            self._lib_len = 0
+            self._lib_dirty = True
+
+        # resolve each distinct text: cached (library offsets) or computed
+        # fresh this batch (offsets past the library end). Fresh payloads
+        # accumulate into per-column python buffers and become ONE Arrow
+        # table per batch — a per-sentence Table.from_pydict costs ~1 ms,
+        # which would dominate on fully-distinct corpora.
+        cols = _EMIT_SCHEMAS[self.emit][2:]
+        buffers: dict[str, list] = {name: [] for name, _ in cols}
+        local_len = 0
+        starts = np.empty(len(uniques), dtype=np.int64)
+        lens = np.empty(len(uniques), dtype=np.int64)
+        any_cached = False
+        for u, text in enumerate(uniques):
+            hit = self._cache.get(text)
+            if hit is not None:
+                starts[u], lens[u] = hit
+                any_cached = True
+                continue
+            p = self._compute_payload(text)
+            k = len(next(iter(p.values()))) if p else 0
+            for name, _t in cols:
+                buffers[name].extend(p[name])
+            start = self._lib_len + local_len
+            starts[u], lens[u] = start, k
+            local_len += k
+            self._cache[text] = (start, k)
 
         row_starts = starts[codes]
         row_lens = lens[codes]
         total = int(row_lens.sum())
+
+        local = (
+            pa.Table.from_pydict(
+                {name: pa.array(buffers[name], type=t) for name, t in cols},
+                schema=pa.schema(cols),
+            )
+            if local_len
+            else None
+        )
+
+        # source view = [library rows 0.._lib_len) ++ local rows]; the local
+        # part is appended to the library only AFTER the source is built so
+        # a rebuild never double-counts this batch's rows
+        if total == 0:
+            source = None
+        elif any_cached:
+            source = (
+                pa.concat_tables([self._library(), local]) if local is not None else self._library()
+            )
+        else:
+            source = local
+            row_starts = row_starts - self._lib_len
+
+        if local is not None:
+            self._lib_parts.append(local)
+            self._lib_len += local_len
+            self._lib_dirty = True
+
         if total == 0:
             return _empty_table(self.emit)
 
-        # gather indices into the payload library (vectorized ragged arange)
+        # gather indices into the payload source (vectorized ragged arange)
         seg_starts = np.cumsum(row_lens) - row_lens
         gather = (
             np.repeat(row_starts, row_lens)
@@ -189,7 +239,7 @@ class AnnotateBatch:
         )
         row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), row_lens)
 
-        payload = self._library().take(pa.array(gather))
+        payload = source.take(pa.array(gather))
         out = {
             "doc_id": batch.column("doc_id").take(pa.array(row_idx)),
             "span_ord": batch.column("span_ord").take(pa.array(row_idx)).cast(pa.int64()),

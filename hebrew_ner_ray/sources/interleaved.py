@@ -51,7 +51,7 @@ def doc_id_str(ids: np.ndarray) -> np.ndarray:
     return np.asarray([f"doc-{i:08d}" for i in ids], dtype=object)
 
 
-def span_fields(ids: np.ndarray, media_refs: bool = True):
+def span_fields(ids: np.ndarray, media_refs: bool = True, diversify: bool = False):
     """Vectorized span attributes for a batch of integer doc ids.
 
     Returns (offsets, kind, text, media_ref, span_ord, parent_pos) where
@@ -59,6 +59,9 @@ def span_fields(ids: np.ndarray, media_refs: bool = True):
     ``parent_pos`` maps each span to its position in ``ids``.
     ``media_refs=False`` skips the per-span md5 (source-side column
     pruning for text-only consumers — media spans are filtered anyway).
+    ``diversify=True`` appends a deterministic numeric token to every text
+    span so every sentence in the corpus is DISTINCT — the cache-defeating
+    benchmark mode that measures true per-sentence tagger throughput.
     """
     ids = np.asarray(ids, dtype=np.int64)
     n_spans = 1 + (ids * 7 + 3) % 8
@@ -75,6 +78,13 @@ def span_fields(ids: np.ndarray, media_refs: bool = True):
 
     kind = np.where(is_text, "text", np.where((i + j) % 2 == 0, "image", "audio")).astype(object)
     text = np.where(is_text, _POOL[template], "").astype(object)
+    if diversify:
+        salt = (i * 2654435761 + j * 40503) % 1_000_000_000
+        text = np.where(
+            is_text,
+            np.asarray([f"{t} מספר {s}" for t, s in zip(text, salt)], dtype=object),
+            "",
+        ).astype(object)
 
     media_ref = np.full(total, "", dtype=object)
     if media_refs:
@@ -89,13 +99,15 @@ def span_fields(ids: np.ndarray, media_refs: bool = True):
     return offsets, kind, text, media_ref, j, parent_pos
 
 
-def generate_docs_batch(batch: "pa.Table | dict", media_refs: bool = True) -> pa.Table:
+def generate_docs_batch(batch: "pa.Table | dict", media_refs: bool = True,
+                        diversify: bool = False) -> pa.Table:
     """``map_batches`` transform: integer ids → interleaved doc rows."""
     if isinstance(batch, dict):
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
     else:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets, kind, text, media_ref, span_ord, _parent = span_fields(ids, media_refs=media_refs)
+    offsets, kind, text, media_ref, span_ord, _parent = span_fields(
+        ids, media_refs=media_refs, diversify=diversify)
     struct = pa.StructArray.from_arrays(
         [
             pa.array(kind, type=pa.string()),
@@ -111,7 +123,8 @@ def generate_docs_batch(batch: "pa.Table | dict", media_refs: bool = True) -> pa
     )
 
 
-def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True):
+def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True,
+                     diversify: bool = False):
     """Dataset of interleaved docs anchored to the testdata ``documents`` ids.
 
     ``replicas > 1`` scales the corpus for benchmarking: each base id d
@@ -137,7 +150,7 @@ def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True):
     # accounted against PRE-flatten doc rows and collapse pool parallelism.
     def gen(batch: pa.Table) -> pa.Table:
         return generate_docs_batch({"doc_id": batch.column("id").to_numpy()},
-                                   media_refs=media_refs)
+                                   media_refs=media_refs, diversify=diversify)
 
     return ids.map_batches(gen, batch_format="pyarrow", batch_size=4096, num_cpus=0.9)
 
