@@ -70,7 +70,9 @@ def run_benchmarks() -> dict:
     # compute-heavy batches.
     def kg_diverse():
         return annotated(SF_DIR, "mentions", replicas=REPLICAS,
-                         diversify=True, concurrency=max(2, NUM_CPUS * 7 // 8)).count()
+                         diversify=True, concurrency=max(2, NUM_CPUS * 7 // 8),
+                         batch_size=2048).count()  # smaller batches balance
+                         # the pool when per-batch compute is heavy
 
     timed("annotate_diverse", kg_diverse)
 
