@@ -45,8 +45,6 @@ class AnnotateBatch:
     batches.
     """
 
-    CACHE_SIZE = 65536
-
     def __init__(self, emit: str = "single"):
         assert emit in EMIT_MODES, emit
         self.emit = emit
@@ -138,14 +136,6 @@ class AnnotateBatch:
     LIB_ROW_LIMIT = 2_000_000  # reset the payload library past this many
     # rows — bounds actor memory on fully-distinct corpora (cache hit rate
     # is then ~0 anyway and compute dominates, which is correct)
-
-    def _payload_table(self, text: str) -> pa.Table:
-        p = self._compute_payload(text)
-        cols = _EMIT_SCHEMAS[self.emit][2:]
-        return pa.Table.from_pydict(
-            {name: pa.array(p[name], type=t) for name, t in cols},
-            schema=pa.schema(cols),
-        )
 
     def _library(self) -> pa.Table:
         # rebuilt lazily, and ONLY when a cached entry actually needs it —

@@ -87,3 +87,67 @@ def test_hybrid_query_matches_single(ray_session):
     merged = single.merge(hybrid, on=key, suffixes=("_s", "_h"))
     assert len(merged) == len(single) == len(hybrid)
     assert (merged["label_s"] == merged["label_h"]).all()
+
+
+def test_diversify_mode(ray_session):
+    from hebrew_ner_ray.pipelines.kg import annotated
+
+    df = annotated(SF, "single", diversify=True).to_pandas()
+    base = annotated(SF, "single").to_pandas()
+    # entities still tagged identically; extra numeric-suffix tokens are O
+    key = ["doc_id", "span_ord", "word_idx"]
+    merged = base.merge(df, on=key, suffixes=("_b", "_d"))
+    assert (merged["label_b"] == merged["label_d"]).all()
+    extra = df.merge(base[key], on=key, how="left", indicator=True)
+    extra = extra[extra["_merge"] == "left_only"]
+    assert (extra["label"] == "O").all()
+    assert len(extra) > 0
+
+
+def test_payload_library_reset():
+    import numpy as np
+    import pyarrow as pa
+
+    from hebrew_ner_ray.pipelines.stages import AnnotateBatch
+
+    ab = AnnotateBatch(emit="tokens")
+    ab.LIB_ROW_LIMIT = 10  # force resets
+    for r in range(5):
+        texts = [f"גנן גידל דגן {r} {i} ." for i in range(8)]
+        batch = pa.table(
+            {
+                "doc_id": pa.array([f"doc-{i:08d}" for i in range(8)]),
+                "span_ord": pa.array(np.zeros(8, dtype=np.int64)),
+                "kind": pa.array(["text"] * 8),
+                "text": pa.array(texts),
+                "media_ref": pa.array([""] * 8),
+            }
+        )
+        out = ab(batch)
+        assert out.num_rows == 8
+    assert ab._lib_len <= 10 + 8  # bounded by limit + one batch
+
+
+def test_mixed_cached_and_fresh_batch():
+    import numpy as np
+    import pyarrow as pa
+
+    from hebrew_ner_ray.pipelines.stages import AnnotateBatch
+
+    ab = AnnotateBatch(emit="single")
+    t1 = "גנן גידל דגן בגן."
+    mk = lambda texts: pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:08d}" for i in range(len(texts))]),
+            "span_ord": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "kind": pa.array(["text"] * len(texts)),
+            "text": pa.array(texts),
+            "media_ref": pa.array([""] * len(texts)),
+        }
+    )
+    first = ab(mk([t1])).to_pandas()
+    # second batch mixes the cached sentence with fresh ones
+    second = ab(mk(["משפת דוגמה אחת .", t1, "משפת דוגמה שתיים ."])).to_pandas()
+    cached_rows = second[second["doc_id"] == "doc-00000001"]
+    assert cached_rows["word"].tolist() == first["word"].tolist()
+    assert cached_rows["label"].tolist() == first["label"].tolist()
