@@ -64,7 +64,15 @@ def _norm(s: str) -> str:
 
 
 def token_candidates(token: str) -> List[Tuple[str, Tuple[str, ...]]]:
-    """(core_variant, prefix_morphs) candidates for one token."""
+    """(core_variant, prefix_morphs) candidates for one token.
+
+    Memoized per process (bounded): vocabulary repeats across sentences
+    even when sentences are all distinct, so this is the hot token-level
+    cache under the sentence-level payload cache.
+    """
+    hit = _CAND_CACHE.get(token)
+    if hit is not None:
+        return hit
     cands: List[Tuple[str, Tuple[str, ...]]] = []
     seen = set()
     for prefix, core in prefix_splits(token):
@@ -73,7 +81,31 @@ def token_candidates(token: str) -> List[Tuple[str, Tuple[str, ...]]]:
             if key not in seen:
                 seen.add(key)
                 cands.append((variant, prefix))
+    if len(_CAND_CACHE) < _CAND_CACHE_MAX:
+        _CAND_CACHE[token] = cands
     return cands
+
+
+_CAND_CACHE: Dict[str, List[Tuple[str, Tuple[str, ...]]]] = {}
+_CAND_CACHE_MAX = 262144
+
+
+def _norm_candidates(token: str) -> Dict[str, Tuple[str, Tuple[str, ...]]]:
+    """normalized core → (core, prefix) for one token, memoized.
+
+    Built with reversed candidate order so the no-split candidate wins on
+    normalized-core collisions (it is written last).
+    """
+    hit = _NORM_CACHE.get(token)
+    if hit is not None:
+        return hit
+    d = {_norm(core): (core, prefix) for core, prefix in reversed(token_candidates(token))}
+    if len(_NORM_CACHE) < _CAND_CACHE_MAX:
+        _NORM_CACHE[token] = d
+    return d
+
+
+_NORM_CACHE: Dict[str, Dict[str, Tuple[str, Tuple[str, ...]]]] = {}
 
 
 class GazetteerIndex:
@@ -91,11 +123,7 @@ class GazetteerIndex:
             v.sort(key=lambda e: -len(e[0]))
 
     def match(self, tokens: Sequence[str]) -> List[Match]:
-        cand_cache = [token_candidates(t) for t in tokens]
-        norm_cands = [
-            {(_norm(core)): (core, prefix) for core, prefix in reversed(cands)}
-            for cands in cand_cache
-        ]
+        norm_cands = [_norm_candidates(t) for t in tokens]
         matches: List[Match] = []
         i = 0
         n = len(tokens)
