@@ -151,3 +151,19 @@ def test_mixed_cached_and_fresh_batch():
     cached_rows = second[second["doc_id"] == "doc-00000001"]
     assert cached_rows["word"].tolist() == first["word"].tolist()
     assert cached_rows["label"].tolist() == first["label"].tolist()
+
+
+def test_write_graph(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.pipelines.kg import write_graph
+
+    out = write_graph(SF, str(tmp_path / "graph"))
+    for table in ("nodes", "edges"):
+        d = os.path.join(out, table)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert files
+        n = sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files)
+        assert n > 0
