@@ -70,7 +70,17 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
-    partials = kg_ds.map_batches(kg_partials, batch_format="pyarrow").materialize()
+    import ray
+
+    # the combined partials are tiny but inherit ONE BLOCK PER UPSTREAM
+    # TASK (thousands at large replica counts); coalesce before the final
+    # aggregates or every downstream stage pays per-block scheduling
+    n_out = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    partials = (
+        kg_ds.map_batches(kg_partials, batch_format="pyarrow")
+        .repartition(n_out)
+        .materialize()
+    )
 
     node_part = partials.map_batches(
         lambda b: b.filter(pc.equal(b.column("ptype"), "node")).select(
