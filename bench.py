@@ -36,8 +36,7 @@ def run_benchmarks() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from hebrew_ner_ray.kg.canonical import build_edges, build_nodes
-    from hebrew_ner_ray.pipelines.kg import annotated, text_spans
+    from hebrew_ner_ray.pipelines.kg import annotated, build_graph, text_spans
 
     # warm the page cache so we measure compute + shuffle, not first disk read
     _ = text_spans(SF_DIR).count()
@@ -51,13 +50,11 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline: full KG build (mentions→nodes + triples→edges), sorted output
+    # headline: full KG build — single annotation pass (emit='kg'), combined
+    # streaming partials, sorted node/edge output
     def kg_build():
-        nodes = build_nodes(annotated(SF_DIR, "mentions", replicas=REPLICAS))
-        n = nodes.count()
-        edges = build_edges(annotated(SF_DIR, "triples", replicas=REPLICAS))
-        e = edges.count()
-        return n, e
+        nodes, edges = build_graph(SF_DIR, replicas=REPLICAS)
+        return nodes.count(), edges.count()
 
     timed("kg_build", kg_build)
     from hebrew_ner_ray.sources.interleaved import read_interleaved
