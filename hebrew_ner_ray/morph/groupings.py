@@ -100,8 +100,15 @@ def make_groupings(morph: Sequence[str]) -> Tuple[List[List[int]], List[str]]:
         elif correct_final_letters(m_w) in SINGLE_ENDINGS:
             pron = correct_final_letters(m_w)
             if prev in SINGLE_STYLE_PREPS:
-                tokens[-1] = normalise_final_letters(prev) + SINGLE_ENDINGS[pron]
+                # reference quirk: its `prev_word = normalise_final_letters(prev_word)`
+                # is a DEAD assignment to a local (utils/ner.py:330-334) — the ending
+                # is appended to the UNMODIFIED previous surface, so בתוך+הוא → בתוךו
+                # (not בתוכו), למען+אני → למעןי.
+                tokens[-1] = prev + SINGLE_ENDINGS[pron]
                 groups[-1].append(i)
+            # the len guard is a deliberate deviation: the reference indexes
+            # sentence[-2] unconditionally (utils/ner.py:336) and raises
+            # IndexError when יד opens the sentence; we fall through instead.
             elif prev == "יד" and len(tokens) >= 2 and tokens[-2] == "על":
                 tokens[-1] = tokens[-1] + SINGLE_ENDINGS[pron]
                 groups[-1].append(i)

@@ -26,7 +26,12 @@ _INTERNAL = r"[,;:\-&]"
 _NUMBERING = r"(?:(?:[א-י]|\d+)\.)+"
 _HEB_ACRONYM = r"(?:(?:[א-ת]\.)+[א-ת]+)"
 _NUMERIC = r"(?:[+-]?(?:[0-9][0-9.,\/\-:]*)?(?:[0-9])%?)"
-_LEGAL_DOTTED = rf"{_OPEN}*(?:{_NUMBERING}|{_NUMERIC}|{_HEB_ACRONYM}){_CLOSE}*"
+# NOTE the alternation is deliberately UNGROUPED, mirroring the reference's
+# re_legalWithSeperator (utils/tokenizer.py:28-32): OPEN* binds only to the
+# numbering alternative and CLOSE* only to the acronym alternative, so
+# '(5' tokenizes as '(' + '5' and '1990)' as '1990' + ')'. re.Scanner wraps
+# each rule in a plain group, which the (?P<legal>...) wrapper reproduces.
+_LEGAL_DOTTED = rf"{_OPEN}*{_NUMBERING}|{_NUMERIC}|{_HEB_ACRONYM}{_CLOSE}*"
 
 _URL = r"[a-z]+://\S+"
 _ENG = r"[a-zA-Z][a-zA-Z0-9'.]*"
@@ -76,6 +81,19 @@ def split_sentences(text: str) -> List[str]:
     always end a sentence, `.` ends one unless it is part of an ellipsis
     (`..`/`...`), a dotted legal token (numbering, numeric, acronym), or
     followed by only closing quotes/parens.
+
+    DELIBERATE deviations from the reference (each a data-loss bug there,
+    pinned by tests/test_tokenizer.py::test_splitter_deviations):
+      1. The trailing unterminated sentence is flushed; the reference drops
+         it (no final flush of ``current_sentence``).
+      2. Chunk leftovers are kept whenever ``start < n``; the reference's
+         ``current_start < len-1`` off-by-one silently drops 1-char tails.
+      3. The legal-token branch appends the full matched token; the
+         reference slices with a relative ``match.end()`` used as an
+         absolute index (utils/tokenizer.py:124), truncating the token
+         whenever ``current_start > 0``. We also require the legal match to
+         extend past the triggering dot (guard ``m_legal.end() > i``),
+         which the reference omits.
     """
     sentences: List[List[str]] = []
     cur: List[str] = []
@@ -127,9 +145,9 @@ def split_sentences(text: str) -> List[str]:
                     start = i
                     continue
                 m_legal = _LEGAL_AT.match(chunk, start)
-                if m_legal and m_legal.end() > i - start:
-                    cur.append(chunk[start : start + m_legal.end() - start])
-                    i = start + (m_legal.end() - start)
+                if m_legal and m_legal.end() > i:
+                    cur.append(chunk[start : m_legal.end()])
+                    i = m_legal.end()
                     start = i
                     continue
                 if i > start:
