@@ -95,6 +95,11 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
     )
 
     def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            return typed_empty({"cat": "object", "norm_key": "object",
+                                "mention_count": "int64", "canonical_form": "object"})
         out = g.groupby(["cat", "norm_key"], as_index=False).agg(
             mention_count=("n", "sum"), canonical_form=("canonical_form", "min")
         )
@@ -114,6 +119,11 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
     )
 
     def edge_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            return typed_empty({"subj_id": "object", "pred": "object",
+                                "obj_id": "object", "weight": "int64"})
         out = g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(weight=("n", "sum"))
         out["weight"] = out["weight"].astype("int64")
         return out
@@ -140,6 +150,11 @@ def build_nodes(mentions_ds, sort: bool = True):
     )
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            return typed_empty({"cat": "object", "norm_key": "object",
+                                "mention_count": "int64", "canonical_form": "object"})
         out = g.groupby(["cat", "norm_key"], as_index=False).agg(
             mention_count=("n", "sum"), canonical_form=("canonical_form", "min")
         )
@@ -164,6 +179,11 @@ def build_edges(triples_ds, sort: bool = True):
     )
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            return typed_empty({"subj_id": "object", "pred": "object",
+                                "obj_id": "object", "weight": "int64"})
         out = g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
             weight=("n", "sum")
         )

@@ -58,13 +58,15 @@ class WordEmbedder:
         return batch.append_column("embedding", emb)
 
 
-def embed_tokens(token_ds, dim: int = DEFAULT_DIM, concurrency=(1, 4), batch_size: int = 8192):
+def embed_tokens(token_ds, dim: int = DEFAULT_DIM, concurrency=None, batch_size: int = 8192):
     """Attach embeddings to a token-rows dataset (doc_id, span_ord,
-    word_idx, word, ...)."""
+    word_idx, word, ...). Pool sized to the session unless overridden."""
+    from hebrew_ner_ray.runtime import default_concurrency
+
     return token_ds.map_batches(
         WordEmbedder,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_concurrency(),
     )

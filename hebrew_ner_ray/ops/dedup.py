@@ -77,11 +77,16 @@ def dedup_exact(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            return typed_empty({"text_hash": "object", "canonical_doc_id": "int64",
+                                "n_dups": "int64"})
         return g.groupby("text_hash", as_index=False).agg(
             canonical_doc_id=("canonical_doc_id", "min"), n_dups=("n_dups", "sum")
         )
 
-    return bucketed_aggregate(partials, ["text_hash"], reduce)
+    return bucketed_aggregate(partials, ["text_hash"], reduce, coalesce=32)
 
 
 # --- shingle explode (shared by jaccard + minhash) ---
@@ -101,26 +106,32 @@ def shingle_explode_batch(batch: pd.DataFrame) -> pd.DataFrame:
                          "set_size": pd.array(rows_n, dtype="int64")})
 
 
-N_KEY_BUCKETS = 32
+N_KEY_BUCKETS = 256  # large domain: see ops/shuffle.py DEFAULT_BUCKETS note
 
 
 def _add_bucket(batch: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
     """Coarse deterministic bucket of the join key — the explicit
     partitioned-hash-join pattern (ray_guide §joins): one groupby over B
     buckets instead of millions of tiny key groups, with the pairing done
-    as a VECTORIZED pandas self-merge inside each bucket."""
-    import zlib
+    as a VECTORIZED pandas self-merge inside each bucket. Bucket hashing
+    is the shared vectorized ``hash_pandas_object`` kernel (buckets are
+    internal — any deterministic hash works; the SQL oracles never see
+    them)."""
+    from hebrew_ner_ray.ops.shuffle import _BUCKET_COL, add_key_bucket
 
-    key = batch[key_cols[0]].astype(str)
-    for c in key_cols[1:]:
-        key = key + "\x1f" + batch[c].astype(str)
-    batch = batch.copy()
-    batch["bucket_id"] = [zlib.crc32(k.encode()) % N_KEY_BUCKETS for k in key]
-    return batch
+    b = add_key_bucket(batch, key_cols, N_KEY_BUCKETS)
+    return b.rename(columns={_BUCKET_COL: "bucket_id"})
 
 
 def _bucket_pair_fn(key_cols: list[str], carry_sizes: bool):
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            cols = {"a": "int64", "b": "int64"}
+            if carry_sizes:
+                cols.update({"size_a": "int64", "size_b": "int64"})
+            return typed_empty(cols)
         # each join key lives entirely in one bucket, so the hot-key cap is
         # decided locally and the self-merge is complete for this bucket
         sizes = g.groupby(key_cols, as_index=False).size()
@@ -162,6 +173,10 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     pairs = exploded.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
 
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            from hebrew_ner_ray.ops.shuffle import typed_empty
+
+            return typed_empty({"a": "int64", "b": "int64", "jaccard": "float64"})
         c = g.groupby(["a", "b"], as_index=False).agg(
             inter=("inter", "sum"), size_a=("size_a", "max"), size_b=("size_b", "max")
         )
@@ -174,7 +189,7 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     # Dataset.aggregate (per-distinct-key reduce overhead — ops/shuffle.py)
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
-    return bucketed_aggregate(pairs, ["a", "b"], reduce_pairs)
+    return bucketed_aggregate(pairs, ["a", "b"], reduce_pairs, coalesce=16)
 
 
 # --- minhash LSH ---
@@ -216,30 +231,44 @@ def dedup_minhash(sf_dir: str):
         return pair_fn(g).drop_duplicates()
 
     pairs = bands.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
 
-    return bucketed_aggregate(pairs, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty({"a": "int64", "b": "int64"})
+        return g.drop_duplicates(["a", "b"])
+
+    return bucketed_aggregate(pairs, ["a", "b"], dedupe, coalesce=16)
 
 
 # --- connected components over near-dup pairs ---
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+DRIVER_PAIR_LIMIT = 2_000_000
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5,
+                   driver_pair_limit: int = DRIVER_PAIR_LIMIT):
     """Cluster assignment for near-duplicate documents: connected
     components over the jaccard-pair graph.
 
-    The pair set is provably small (LSH/threshold pruning bounds it), so
-    components run as driver-side union-find over the materialized pairs —
-    the pattern ray_guide §aggregation sanctions for small candidate sets.
-    ``dedup_clusters_distributed`` is the all-groupby variant for when the
-    pair graph itself is too large to collect.
+    SIZE-AWARE dispatch: the pair set is materialized once (it is already
+    the product of LSH/threshold pruning, orders of magnitude smaller than
+    the corpus) and counted. At or under ``driver_pair_limit`` pairs the
+    exact driver-side union-find runs (any component diameter, zero extra
+    shuffles); above it the distributed min-label propagation takes over —
+    so a skew-blown pair graph can never OOM the driver.
 
     Output: (doc_id, cluster_id) for every doc in ≥1 pair; cluster_id =
     min doc id of the component.
     """
     import ray.data
 
-    pdf = dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"]).to_pandas()
+    pairs = dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"]).materialize()
+    if pairs.count() > driver_pair_limit:
+        return _clusters_label_propagation(pairs)
+
+    pdf = pairs.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -261,15 +290,26 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
 
 
 def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5, max_rounds: int = 8):
+    """Distributed connected components over the jaccard-pair graph (the
+    large-pair-set arm of ``dedup_clusters``'s dispatch)."""
+    return _clusters_label_propagation(
+        dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"]), max_rounds
+    )
+
+
+def _clusters_label_propagation(pairs, max_rounds: int = 8):
     """Connected components via iterative min-label propagation — each
     round one bucketed hash join (label→peer) + one bucketed min-
     aggregate; convergence detected with a cheap sum (labels only ever
     decrease). Use when the pair graph is too large to collect."""
-    import ray.data
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    _LBL_COLS = {"node": "int64", "lbl": "int64"}
 
-    pairs = dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"])
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_LBL_COLS)
+        return g.groupby("node", as_index=False).agg(lbl=("lbl", "min")).astype(_LBL_COLS)
 
     def undirect(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -287,7 +327,7 @@ def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5, max_rounds: 
             batch_format="pandas",
         ),
         ["node"],
-        lambda g: g.groupby("node", as_index=False).agg(lbl=("lbl", "min")),
+        min_label,
     ).materialize()
 
     prev_sum = labels.sum("lbl")
@@ -295,6 +335,8 @@ def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5, max_rounds: 
         # propagate: every edge carries its node's label to the peer —
         # a bucketed hash join (label ∪ edge rows grouped by node)
         def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty:
+                return typed_empty(_LBL_COLS)
             lab = g[g["peer"].isna()][["node", "lbl"]]
             edg = g[g["peer"].notna()][["node", "peer"]]
             m = edg.merge(lab, on="node")
@@ -314,9 +356,7 @@ def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5, max_rounds: 
             tagged_labels.union(tagged_edges), ["node"], join_bucket
         )
         merged = bucketed_aggregate(
-            labels.union(propagated),
-            ["node"],
-            lambda g: g.groupby("node", as_index=False).agg(lbl=("lbl", "min")),
+            labels.union(propagated), ["node"], min_label
         ).materialize()
         new_sum = merged.sum("lbl")
         labels = merged

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from hebrew_ner_ray.kg.ids import stable_id
+from hebrew_ner_ray.runtime import default_concurrency
 
 
 def decode_real(payload: bytes, kind: str):
@@ -83,7 +84,7 @@ def media_spans(sf_dir: str):
 def media_decode(sf_dir: str):
     """Decode stub over all media spans (small batches: wide payload rule)."""
     return media_spans(sf_dir).map_batches(
-        MediaDecoder, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        MediaDecoder, batch_format="pyarrow", batch_size=512, concurrency=default_concurrency()
     ).select_columns(["doc_id", "span_ord", "kind", "media_ref", "width", "height", "n_frames"])
 
 
@@ -120,5 +121,5 @@ class MediaFeaturizer:
 
 def media_features(sf_dir: str):
     return media_spans(sf_dir).map_batches(
-        MediaFeaturizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        MediaFeaturizer, batch_format="pyarrow", batch_size=512, concurrency=default_concurrency()
     )

@@ -65,6 +65,7 @@ def ops_queries():
         "dedup_clusters": _wrap(dedup.dedup_clusters),
         "sim_ann_topk": _wrap(similarity.ann_topk),
         "sim_embedding_pairs": _wrap(similarity.embedding_pairs),
+        "sim_embedding_pairs_lsh": _wrap(similarity.embedding_pairs_lsh),  # approx → rows-only
         "sim_ivf_topk": _wrap(similarity.ivf_topk),  # approximate → rows-only
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_sessions": _wrap(windows.events_sessions),

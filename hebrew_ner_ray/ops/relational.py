@@ -19,11 +19,19 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
+from hebrew_ner_ray.runtime import default_concurrency
+
+_REV_COLS = {"n_name": "object", "revenue_cents": "int64", "n_orders": "int64"}
+_PRICE_COLS = {
+    "l_returnflag": "object", "l_linestatus": "object", "sum_qty": "int64",
+    "sum_base_cents": "int64", "sum_disc_price_cents": "int64",
+    "avg_qty": "float64", "avg_disc_bp": "float64", "count_order": "int64",
+}
+
 
 def revenue_by_nation(sf_dir: str):
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
@@ -54,20 +62,23 @@ def revenue_by_nation(sf_dir: str):
             return g[["n_name", "revenue_cents", "n_orders"]]
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    agg = ds.map_batches(JoinAgg, batch_format="pandas", concurrency=(1, 4)).groupby(
-        "n_name"
-    ).aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents"),
-        Sum("n_orders", alias_name="n_orders"),
+    partials = ds.map_batches(
+        JoinAgg, batch_format="pandas", concurrency=default_concurrency()
     )
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["revenue_cents"] = b["revenue_cents"].astype("int64")
-        b["n_orders"] = b["n_orders"].astype("int64")
-        return b
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        from hebrew_ner_ray.ops.shuffle import typed_empty
 
-    return agg.map_batches(finish, batch_format="pandas")
+        if g.empty:
+            return typed_empty(_REV_COLS)
+        out = g.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum")
+        )
+        return out.astype({"revenue_cents": "int64", "n_orders": "int64"})
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate
+
+    return small_key_aggregate(partials, reduce)
 
 
 CUTOFF = "1998-09-02"
@@ -75,7 +86,6 @@ CUTOFF = "1998-09-02"
 
 def pricing_summary(sf_dir: str):
     import ray.data
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -105,19 +115,20 @@ def pricing_summary(sf_dir: str):
         )
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
-        Sum("sum_disc_bp", alias_name="sum_disc_bp"),
-        Sum("count_order", alias_name="count_order"),
-    )
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        from hebrew_ner_ray.ops.shuffle import typed_empty
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PRICE_COLS)
+        b = g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_price_cents=("sum_disc_price_cents", "sum"),
+            sum_disc_bp=("sum_disc_bp", "sum"),
+            count_order=("count_order", "sum"),
+        )
         n = b["count_order"].astype("int64")
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
@@ -129,6 +140,7 @@ def pricing_summary(sf_dir: str):
                 "count_order": n,
             }
         )
-        return out
 
-    return agg.map_batches(finish, batch_format="pandas")
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate
+
+    return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"), reduce)

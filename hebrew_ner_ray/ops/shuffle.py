@@ -20,7 +20,13 @@ from typing import Callable, Sequence
 import numpy as np
 import pandas as pd
 
-DEFAULT_BUCKETS = 64
+# Large bucket domain: sort boundaries are raw sample quantiles with no
+# dedup (ray sort_task_spec.sample_boundaries), so low-cardinality bucket
+# values with high multiplicity produce DUPLICATE boundaries -> empty,
+# schema-less sort partitions. 1024 buckets keeps sampled values nearly
+# distinct (boundaries unique) while per-group call overhead stays
+# negligible (~0.3 ms x 1024 across the pool).
+DEFAULT_BUCKETS = 1024
 _BUCKET_COL = "__bucket"
 
 
@@ -36,19 +42,52 @@ def add_key_bucket(batch: pd.DataFrame, key_cols: Sequence[str],
     return batch
 
 
+def typed_empty(cols: dict[str, str]) -> pd.DataFrame:
+    """Schema-stable zero-row frame — every partial/reduce fn returns this
+    for empty input so no operator ever emits a column-less block
+    (PandasBlockSchema(names=[]) drift, round-1 verdict item 7)."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+
 def bucketed_aggregate(
     ds,
     key_cols: Sequence[str],
     agg: Callable[[pd.DataFrame], pd.DataFrame],
     n_buckets: int = DEFAULT_BUCKETS,
+    coalesce: int | None = None,
 ):
     """``agg`` receives one bucket's rows (bucket column removed) and must
-    perform the full groupby-aggregate for the keys it sees."""
+    perform the full groupby-aggregate for the keys it sees — INCLUDING
+    empty input (map_groups hands empty partitions a column-less frame;
+    ``agg`` must return its typed empty schema there).
+
+    ``coalesce``: repartition the bucketed rows to this many blocks before
+    the groupby. The sort behind map_groups emits one output partition per
+    input block; partitions holding no bucket come out as SCHEMA-LESS
+    empty blocks (PandasBlockSchema(names=[]) drift). Keeping partitions ≤
+    occupied buckets eliminates them — use for high-cardinality keys where
+    every bucket is occupied (the KG pipeline's repartition-then-aggregate
+    pattern). For ≲100-key finals use ``small_key_aggregate`` instead."""
     bucketed = ds.map_batches(
         lambda b: add_key_bucket(b, key_cols, n_buckets), batch_format="pandas"
     )
+    if coalesce:
+        bucketed = bucketed.repartition(min(coalesce, n_buckets))
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        return agg(g.drop(columns=[_BUCKET_COL]))
+        if _BUCKET_COL in g.columns:
+            g = g.drop(columns=[_BUCKET_COL])
+        return agg(g)
 
     return bucketed.groupby(_BUCKET_COL).map_groups(run, batch_format="pandas")
+
+
+def small_key_aggregate(partials, agg: Callable[[pd.DataFrame], pd.DataFrame]):
+    """Final combine for LOW-cardinality keys (TPC-H Q1's 6 groups, 25
+    nations): partial aggregation has already shrunk the data to
+    (#blocks × #keys) rows, so the exact final reduce is one task over one
+    coalesced block — no sort, no empty partitions, schema stable.
+    ``agg`` sees every partial row in a single call."""
+    return partials.repartition(1).map_batches(
+        agg, batch_format="pandas", batch_size=None
+    )

@@ -19,6 +19,12 @@ import pandas as pd
 SESSION_GAP_US = 30 * 60 * 1_000_000
 WINDOW_US = 3_600 * 1_000_000
 
+_TUMBLE_COLS = {"user_id": "int64", "window_us": "int64",
+                "n_events": "int64", "total_value_micro": "int64"}
+_SESSION_COLS = {"user_id": "int64", "session_id": "int64", "n_events": "int64",
+                 "start_us": "int64", "end_us": "int64", "total_value_micro": "int64"}
+_TOP_COLS = {"user_id": "int64", "total_value_micro": "int64", "n_events": "int64"}
+
 
 def _epoch_us(ts: pd.Series) -> pd.Series:
     # normalize to µs explicitly — pandas 2 preserves the parquet unit
@@ -45,27 +51,31 @@ def tumbling_partials(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def events_tumbling(sf_dir: str):
-    """Per (user, hour) event count + value sum."""
+    """Per (user, hour) event count + value sum — (user, window) keys are
+    high-cardinality at scale, so the reduce is a bucketed aggregate."""
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     partials = ds.map_batches(tumbling_partials, batch_format="pandas")
-    agg = partials.groupby(["user_id", "window_us"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("total_value_micro", alias_name="total_value_micro"),
-    )
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["total_value_micro"] = b["total_value_micro"].astype("int64")
-        b["n_events"] = b["n_events"].astype("int64")
-        return b
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_TUMBLE_COLS)
+        out = g.groupby(["user_id", "window_us"], as_index=False).agg(
+            n_events=("n_events", "sum"), total_value_micro=("total_value_micro", "sum")
+        )
+        return out.astype(_TUMBLE_COLS)
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return bucketed_aggregate(partials, ["user_id", "window_us"], reduce, coalesce=32)
 
 
 def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
+    if g.empty:
+        from hebrew_ner_ray.ops.shuffle import typed_empty
+
+        return typed_empty(_SESSION_COLS)
     g = g.sort_values("ts")
     us = _epoch_us(g["ts"]).to_numpy()
     brk = np.ones(len(g), dtype=np.int64)
@@ -88,13 +98,14 @@ def events_sessions(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
-    return ds.groupby("user_id").map_groups(_sessionize_group, batch_format="pandas")
+    # coalesce before the partition-by-user sort: partitions ≤ distinct
+    # users keeps the sort from emitting schema-less empty blocks
+    return ds.repartition(32).groupby("user_id").map_groups(_sessionize_group, batch_format="pandas")
 
 
 def events_top_users(sf_dir: str, k: int = 20):
     """Top-k users by total event value (partial agg → groupby → sort/limit)."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
 
@@ -105,16 +116,16 @@ def events_top_users(sf_dir: str, k: int = 20):
             .agg(total_value_micro=("value_micro", "sum"), n_events=("value_micro", "size"))
         )
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("total_value_micro", alias_name="total_value_micro"),
-        Sum("n_events", alias_name="n_events"),
-    )
-    top = agg.sort(["total_value_micro", "user_id"], descending=[True, False]).limit(k)
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["total_value_micro"] = b["total_value_micro"].astype("int64")
-        b["n_events"] = b["n_events"].astype("int64")
-        return b
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_TOP_COLS)
+        out = g.groupby("user_id", as_index=False).agg(
+            total_value_micro=("total_value_micro", "sum"), n_events=("n_events", "sum")
+        )
+        return out[list(_TOP_COLS)].astype(_TOP_COLS)
 
-    return top.map_batches(finish, batch_format="pandas")
+    agg = bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                             ["user_id"], reduce, coalesce=32)
+    return agg.sort(["total_value_micro", "user_id"], descending=[True, False]).limit(k)

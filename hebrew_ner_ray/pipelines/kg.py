@@ -27,13 +27,8 @@ def text_spans(sf_dir: str, replicas: int = 1, diversify: bool = False):
     return flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
 
 
-def default_concurrency() -> tuple[int, int]:
-    """Actor-pool bounds sized to the session: leave headroom for the read
-    and shuffle stages so the pool doesn't starve them."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus - 2))
+from hebrew_ner_ray.runtime import default_concurrency  # noqa: E402  (re-export;
+# session-sized pools are shared engine policy — see runtime.py)
 
 
 def annotated(sf_dir: str, emit: str, replicas: int = 1, concurrency=None,
