@@ -70,7 +70,13 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_datasets(annotated(sf_dir, "eval"))
 
+    def ner_crf(sf_dir: str):
+        from hebrew_ner_ray.pipelines.kg import annotated_crf
+
+        return annotated_crf(sf_dir)
+
     return {
+        "ner_crf": ner_crf,
         "eval_hybrid_vs_single": eval_hybrid_vs_single,
         "morph_groupings": _ner("groupings"),
         "kg_flatten_spans": kg_flatten,
@@ -99,6 +105,7 @@ def _kg_oracles() -> dict[str, str]:
         "ner_token_multi": o.sql_token_labels("multi"),
         "ner_morph": o.sql_morph(),
         "ner_hybrid": o.sql_token_labels("hybrid"),
+        "ner_crf": o.sql_token_labels("crf"),
         "kg_mentions": o.sql_mentions(),
         "kg_triples": o.sql_triples(),
         "kg_nodes": o.sql_nodes(),

@@ -73,9 +73,16 @@ def _compute_template_artifacts():
     from hebrew_ner_ray.ner.tagger import SentenceTagger
     from hebrew_ner_ray.text.tokenizer import text_to_token_sentences
 
+    from hebrew_ner_ray.ner.crf import CRFModel
+
     tagger = SentenceTagger()
+    crf = CRFModel()
+    # one batched decode over all templates — bit-identical to any other
+    # batch composition (mask-guarded padding; pinned by test_crf)
+    all_tokens = [text_to_token_sentences(t)[0] for t in TEMPLATES]
+    crf_labels = crf.decode(all_tokens)
     arts = []
-    for text in TEMPLATES:
+    for text, crf_labs in zip(TEMPLATES, crf_labels):
         sents = text_to_token_sentences(text)
         assert len(sents) == 1, f"template must be a single sentence: {text!r}"
         tokens = sents[0]
@@ -91,6 +98,7 @@ def _compute_template_artifacts():
                 "text": text,
                 "tokens": tokens,
                 "single": single,
+                "crf": crf_labs,
                 "multi": multi,
                 "morph_forms": forms,
                 "morph_labels": morph,

@@ -45,6 +45,21 @@ def annotated(sf_dir: str, emit: str, replicas: int = 1, concurrency=None,
     )
 
 
+def annotated_crf(sf_dir: str, replicas: int = 1, concurrency=None,
+                  batch_size: int = DEFAULT_BATCH_SIZE, diversify: bool = False):
+    """CRF tagging over text spans — the model-shaped scorer path
+    (pipelines/stages.py CrfAnnotateBatch; ner/crf.py)."""
+    from hebrew_ner_ray.pipelines.stages import CrfAnnotateBatch
+
+    spans = text_spans(sf_dir, replicas=replicas, diversify=diversify)
+    return spans.map_batches(
+        CrfAnnotateBatch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
 def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = True):
     """(nodes_ds, edges_ds) for the corpus — single annotation pass
     (emit='kg' union rows), both aggregations off the shared rows."""

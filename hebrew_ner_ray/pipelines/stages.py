@@ -239,6 +239,78 @@ class AnnotateBatch:
         return pa.table(out)
 
 
+class CrfAnnotateBatch:
+    """Actor-pool CRF tagging stage (the model-shaped scorer, ST2/ST3/ST6).
+
+    The CRFModel (feature-hashed emissions + transition matrix, ner/crf.py)
+    is built once per actor; per batch, DISTINCT sentence texts are
+    tokenized and decoded in ONE length-sorted padded Viterbi call (the
+    reference's batchify collation, ncrf_main.py:197-288), then payloads
+    replicate to row occurrences with the same vectorized ragged gather as
+    AnnotateBatch. Per-sentence results are batch-composition-independent
+    (mask-guarded padding), which is what lets the DuckDB oracle join
+    per-template outputs.
+    """
+
+    def __init__(self, nbest: int | None = None):
+        from hebrew_ner_ray.ner.crf import CRFModel
+
+        self.model = CRFModel()
+        self.nbest = nbest
+        self._cache: dict[str, tuple] = {}  # text -> (words, labels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        import pandas as pd
+
+        codes, uniques = pd.factorize(pd.array(texts), use_na_sentinel=False)
+        fresh = [t for t in uniques if t not in self._cache]
+        if fresh:
+            tok_lists = [
+                [t for sent in text_to_token_sentences(x) for t in sent] for x in fresh
+            ]
+            labelings = self.model.decode(tok_lists)
+            for x, toks, labs in zip(fresh, tok_lists, labelings):
+                self._cache[x] = (toks, labs)
+
+        words, labels, starts, lens = [], [], np.empty(len(uniques), np.int64), np.empty(len(uniques), np.int64)
+        pos = 0
+        for u, text in enumerate(uniques):
+            toks, labs = self._cache[text]
+            words.extend(toks)
+            labels.extend(labs)
+            starts[u], lens[u] = pos, len(toks)
+            pos += len(toks)
+
+        row_starts = starts[codes]
+        row_lens = lens[codes]
+        total = int(row_lens.sum())
+        if total == 0:
+            return pa.Table.from_pydict(
+                {n: [] for n, _ in _EMIT_SCHEMAS["single"]},
+                schema=pa.schema(_EMIT_SCHEMAS["single"]),
+            )
+        seg_starts = np.cumsum(row_lens) - row_lens
+        gather = (
+            np.repeat(row_starts, row_lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(seg_starts, row_lens)
+        )
+        row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), row_lens)
+        word_arr = pa.array(words, type=pa.string()).take(pa.array(gather))
+        label_arr = pa.array(labels, type=pa.string()).take(pa.array(gather))
+        word_idx = gather - np.repeat(row_starts, row_lens)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(row_idx)),
+                "span_ord": batch.column("span_ord").take(pa.array(row_idx)).cast(pa.int64()),
+                "word_idx": pa.array(word_idx, type=pa.int64()),
+                "word": word_arr,
+                "label": label_arr,
+            }
+        )
+
+
 _INT_COLS = {"span_ord", "word_idx", "morph_idx", "origin", "mention_ord", "triple_ord",
              "lo", "hi", "n_tokens", "corr_tok", "n_tok", "n_pred", "n_gold", "n_correct",
              "group_ord", "n_morphs"}
