@@ -75,8 +75,14 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return annotated_crf(sf_dir)
 
+    def eval_vs_gold(sf_dir: str):
+        from hebrew_ner_ray.pipelines.evaljoin import eval_vs_gold as ev
+
+        return ev(sf_dir)
+
     return {
         "ner_crf": ner_crf,
+        "eval_vs_gold": eval_vs_gold,
         "eval_hybrid_vs_single": eval_hybrid_vs_single,
         "morph_groupings": _ner("groupings"),
         "kg_flatten_spans": kg_flatten,
@@ -106,6 +112,7 @@ def _kg_oracles() -> dict[str, str]:
         "ner_morph": o.sql_morph(),
         "ner_hybrid": o.sql_token_labels("hybrid"),
         "ner_crf": o.sql_token_labels("crf"),
+        "eval_vs_gold": o.sql_eval_vs_gold(),
         "kg_mentions": o.sql_mentions(),
         "kg_triples": o.sql_triples(),
         "kg_nodes": o.sql_nodes(),

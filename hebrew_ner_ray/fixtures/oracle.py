@@ -242,6 +242,39 @@ FROM tot
 """
 
 
+def sql_eval_vs_gold() -> str:
+    """Oracle for the pred↔gold join eval: per-template span counts of
+    (gazetteer single) vs (CRF gold) computed in-process, weighted by the
+    corpus occurrence count in SQL, finalized with the exact float-op
+    order of eval/metrics.finalize (int() == FLOOR for non-negatives)."""
+    from hebrew_ner_ray.eval.metrics import sentence_counts
+
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        ct, nt, np_, ng, nc = sentence_counts(a["single"], a["crf"])
+        rows.append((t, ct, nt, np_, ng, nc))
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, corr_tok, n_tok, n_pred, n_gold, n_corr', rows)},
+tot AS (
+  SELECT sum(g.corr_tok) AS corr_tok, sum(g.n_tok) AS n_tok,
+         sum(g.n_pred) AS n_pred, sum(g.n_gold) AS n_gold, sum(g.n_corr) AS n_corr
+  FROM attrs a JOIN gold g ON a.t = g.t WHERE a.is_text
+),
+pr AS (
+  SELECT *, CASE WHEN n_pred > 0 THEN n_corr * 1.0 / n_pred ELSE 0.0 END AS p,
+            CASE WHEN n_gold > 0 THEN n_corr * 1.0 / n_gold ELSE 0.0 END AS r
+  FROM tot
+)
+SELECT CAST(n_tok AS BIGINT) AS n_tok, CAST(corr_tok AS BIGINT) AS corr_tok,
+       CAST(n_pred AS BIGINT) AS n_pred_spans, CAST(n_gold AS BIGINT) AS n_gold_spans,
+       CAST(n_corr AS BIGINT) AS n_correct_spans,
+       CAST(FLOOR(p * 1000000) AS BIGINT) AS precision_ppm,
+       CAST(FLOOR(r * 1000000) AS BIGINT) AS recall_ppm,
+       CAST(FLOOR(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END * 1000000) AS BIGINT) AS f1_ppm
+FROM pr
+"""
+
+
 def sql_span_invariant() -> str:
     return """SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_ok

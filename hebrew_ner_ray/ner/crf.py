@@ -37,7 +37,10 @@ N_TAGS = N_LABELS + 2
 
 HASH_DIM = 4096
 NEG = -10_000.0  # structural -inf (finite so nbest softmax stays defined)
-GAZ_BIAS = 8.0  # emission bonus on the gazetteer-informed label
+GAZ_BIAS = 3.0  # emission bonus on the gazetteer-informed label — sized so
+# hash-feature noise overrides it on ~20% of tokens (the CRF genuinely
+# arbitrates; bias 8 makes it degenerate into the gazetteer and the
+# eval_vs_gold join collapses to P=R=F=1)
 
 
 def _seeded(name: str, *shape: int, scale: float = 1.0) -> np.ndarray:

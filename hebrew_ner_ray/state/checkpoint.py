@@ -47,6 +47,14 @@ def completed_partitions(out_dir: str) -> set[int]:
     return done
 
 
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _commit(out_dir: str, record: dict) -> None:
     path = _manifest_path(out_dir)
     with open(path, "a", encoding="utf-8") as f:
@@ -81,12 +89,23 @@ def run_partitioned(
         ds.write_parquet(tmp)
         import pyarrow.parquet as pq
 
-        n_rows = sum(
-            pq.read_metadata(os.path.join(tmp, f)).num_rows
-            for f in os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
+        n_rows = 0
+        # durability barrier: fsync every data file + the tmp dir BEFORE the
+        # rename, and the parent dir AFTER, so a manifest-committed
+        # partition can never hold incomplete data even across power loss
+        # (rename alone only orders metadata, not file contents)
+        for f in os.listdir(tmp):
+            fp = os.path.join(tmp, f)
+            if f.endswith(".parquet"):
+                n_rows += pq.read_metadata(fp).num_rows
+            fd = os.open(fp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(tmp)
         os.rename(tmp, final)
+        _fsync_dir(out_dir)
         _commit(
             out_dir,
             {
