@@ -61,6 +61,18 @@ def run_benchmarks() -> dict:
 
     n_docs = read_interleaved(SF_DIR, replicas=REPLICAS).count()
 
+    # non-degenerate variant: every sentence distinct AND entity keys
+    # scaled to the corpus (docs/16 distinct פלוני entities) — measures the
+    # pipeline with a realistic cache-hit rate and aggregate cardinality
+    def kg_build_mixed():
+        nodes, edges = build_graph(SF_DIR, replicas=REPLICAS, diversify=True,
+                                   entity_mix=max(64, n_docs // 16),
+                                   concurrency=max(2, NUM_CPUS * 7 // 8))
+        return nodes.count(), edges.count()
+
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        timed("kg_build_mixed", kg_build_mixed)
+
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         ray.shutdown()
         headline = timings["kg_build"]

@@ -12,4 +12,31 @@ pruning, token↔morpheme alignment, span extraction), and we re-express
 each piece as a batch transform over Arrow data.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_hash_shuffle() -> None:
+    """Engine-wide shuffle strategy: HASH_SHUFFLE.
+
+    The default sort-based shuffle picks reducer boundaries from raw
+    sample quantiles with no dedup (ray sort_task_spec.sample_boundaries);
+    duplicate sampled values create EMPTY, SCHEMA-LESS output partitions
+    that no downstream UDF can repair (Ray skips empty blocks in both
+    map_groups and map_batches — verified empirically). Hash shuffle
+    partitions deterministically — no sampling, no empty-partition
+    lottery — and is also what `Dataset.repartition(keys=...)` and
+    `Dataset.join` require. Opt out with GRAFT_SORT_SHUFFLE=1.
+    """
+    import os
+
+    if os.environ.get("GRAFT_SORT_SHUFFLE"):
+        return
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    except ImportError:  # older ray without the enum — keep the default
+        pass
+
+
+_enable_hash_shuffle()

@@ -77,7 +77,7 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
     import pandas as pd
     import pyarrow.compute as pc
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    from hebrew_ner_ray.ops.shuffle import keyed_aggregate
 
     import ray
 
@@ -86,6 +86,7 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
         .repartition(_coalesce_blocks())
         .materialize()
     )
+    n_partials = partials.count()  # free: materialized
 
     node_part = partials.map_batches(
         lambda b: b.filter(pc.equal(b.column("ptype"), "node")).select(
@@ -106,7 +107,8 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
         out["mention_count"] = out["mention_count"].astype("int64")
         return out
 
-    nodes = bucketed_aggregate(node_part, ["cat", "norm_key"], node_reduce)
+    nodes = keyed_aggregate(node_part, ["cat", "norm_key"], node_reduce,
+                            count=n_partials)
     nodes = nodes.map_batches(add_entity_ids, batch_format="pyarrow").select_columns(
         ["entity_id", "canonical_form", "cat", "mention_count"]
     )
@@ -128,7 +130,8 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
         out["weight"] = out["weight"].astype("int64")
         return out
 
-    edges = bucketed_aggregate(edge_part, ["subj_id", "pred", "obj_id"], edge_reduce)
+    edges = keyed_aggregate(edge_part, ["subj_id", "pred", "obj_id"], edge_reduce,
+                            count=n_partials)
     edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
     if sort:
         nodes = nodes.sort("entity_id")
@@ -143,11 +146,11 @@ def build_nodes(mentions_ds, sort: bool = True):
     bucketed aggregate (ops/shuffle.py) rather than Dataset.aggregate."""
     import pandas as pd
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    from hebrew_ner_ray.ops.shuffle import keyed_aggregate
 
     partials = mentions_ds.map_batches(mention_partials, batch_format="pyarrow").repartition(
         _coalesce_blocks()
-    )
+    ).materialize()
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -161,7 +164,7 @@ def build_nodes(mentions_ds, sort: bool = True):
         out["mention_count"] = out["mention_count"].astype("int64")
         return out
 
-    agg = bucketed_aggregate(partials, ["cat", "norm_key"], reduce)
+    agg = keyed_aggregate(partials, ["cat", "norm_key"], reduce, count=partials.count())
     nodes = agg.map_batches(add_entity_ids, batch_format="pyarrow").select_columns(
         ["entity_id", "canonical_form", "cat", "mention_count"]
     )
@@ -172,11 +175,11 @@ def build_edges(triples_ds, sort: bool = True):
     """triples → edges(subj_id, pred, obj_id, weight)."""
     import pandas as pd
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    from hebrew_ner_ray.ops.shuffle import keyed_aggregate
 
     partials = triples_ds.map_batches(edge_partials, batch_format="pyarrow").repartition(
         _coalesce_blocks()
-    )
+    ).materialize()
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -190,6 +193,7 @@ def build_edges(triples_ds, sort: bool = True):
         out["weight"] = out["weight"].astype("int64")
         return out
 
-    edges = bucketed_aggregate(partials, ["subj_id", "pred", "obj_id"], reduce)
+    edges = keyed_aggregate(partials, ["subj_id", "pred", "obj_id"], reduce,
+                            count=partials.count())
     edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
     return edges.sort(["subj_id", "pred", "obj_id"]) if sort else edges

@@ -93,16 +93,28 @@ def dedup_exact(sf_dir: str):
 
 
 def shingle_explode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Inverted-index rows keyed by the 60-bit md5 shingle id, NOT the
+    shingle string — the exchange ships int64 keys (~5× less volume) and
+    the SQL oracle hashes with the identical expression, so even a hash
+    collision (≈n²/2⁶⁰, merging two shingles) reproduces bit-for-bit on
+    both sides. ``set_size`` counts DISTINCT shingle ids per doc for the
+    same reason."""
     rows_doc, rows_sh, rows_n = [], [], []
+    memo: dict[str, int] = {}
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        sh = shingles(text)
-        n = len(sh)
-        for s in sh:
+        ids = set()
+        for s in shingles(text):
+            h = memo.get(s)
+            if h is None:
+                h = memo[s] = stable_id(s)
+            ids.add(h)
+        n = len(ids)
+        for h in ids:
             rows_doc.append(doc_id)
-            rows_sh.append(s)
+            rows_sh.append(h)
             rows_n.append(n)
     return pd.DataFrame({"doc_id": pd.array(rows_doc, dtype="int64"),
-                         "shingle": rows_sh,
+                         "sh_h": pd.array(rows_sh, dtype="int64"),
                          "set_size": pd.array(rows_n, dtype="int64")})
 
 
@@ -158,19 +170,21 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     from ray.data.aggregate import Max, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas").map_batches(
-        lambda b: _add_bucket(b, ["shingle"]), batch_format="pandas"
-    )
-    pair_fn = _bucket_pair_fn(["shingle"], carry_sizes=True)
+    exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas")
+    pair_fn = _bucket_pair_fn(["sh_h"], carry_sizes=True)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         p = pair_fn(g)
-        # local partial: shared-shingle count per pair within this bucket
+        # local partial: shared-shingle count per pair within this partition
         return p.groupby(["a", "b"], as_index=False).agg(
             inter=("a", "size"), size_a=("size_a", "max"), size_b=("size_b", "max")
         )
 
-    pairs = exploded.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
+    # keyed exchange on the shingle id (the inverted-index build): each
+    # partition holds complete shingle groups, pair_fn handles the rest
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+
+    pairs = bucketed_aggregate(exploded, ["sh_h"], bucket_pairs)
 
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -195,25 +209,30 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
 # --- minhash LSH ---
 
 
-def minhash_signature(sh: set[str]) -> list[int]:
-    if not sh:
+def minhash_signature(sh_ids: "set[int]") -> list[int]:
+    """K min-hashes over the shingle-ID set (int64 md5 ids — the same
+    representation the jaccard exchange uses; the SQL oracle hashes the
+    identical ``k|id`` strings)."""
+    if not sh_ids:
         return [0] * MINHASH_K
-    return [min(stable_id(f"{k}|{s}") for s in sh) for k in range(MINHASH_K)]
+    return [min(stable_id(f"{k}|{h}") for h in sh_ids) for k in range(MINHASH_K)]
 
 
 def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
     rows_doc, rows_band, rows_bucket = [], [], []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        sig = minhash_signature(shingles(text))
+        sig = minhash_signature({stable_id(s) for s in shingles(text)})
         for band in range(MINHASH_K // MINHASH_BAND):
             vals = sig[band * MINHASH_BAND : (band + 1) * MINHASH_BAND]
-            bucket = hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+            # int64 bucket id (identical md5 prefix in the SQL oracle) —
+            # the LSH exchange ships ints, not hex strings
+            bucket = stable_id(",".join(str(v) for v in vals))
             rows_doc.append(doc_id)
             rows_band.append(band)
             rows_bucket.append(bucket)
     return pd.DataFrame({"doc_id": pd.array(rows_doc, dtype="int64"),
                          "band": pd.array(rows_band, dtype="int64"),
-                         "bucket": rows_bucket})
+                         "bucket": pd.array(rows_bucket, dtype="int64")})
 
 
 def dedup_minhash(sf_dir: str):
@@ -222,16 +241,15 @@ def dedup_minhash(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bands = ds.map_batches(minhash_bands_batch, batch_format="pandas").map_batches(
-        lambda b: _add_bucket(b, ["band", "bucket"]), batch_format="pandas"
-    )
+    bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
     pair_fn = _bucket_pair_fn(["band", "bucket"], carry_sizes=False)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return pair_fn(g).drop_duplicates()
 
-    pairs = bands.groupby("bucket_id").map_groups(bucket_pairs, batch_format="pandas")
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
+
+    pairs = bucketed_aggregate(bands, ["band", "bucket"], bucket_pairs)
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:

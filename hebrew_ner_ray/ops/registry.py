@@ -19,13 +19,16 @@ _TOKS_CTE = r"""toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents
 )"""
 
+# shingles keyed by the shared 60-bit md5 id (kg/ids.sql_stable_id) so the
+# exchange key matches the Ray side bit-for-bit, collisions included
 _SHINGLES_CTE = (
     _TOKS_CTE
     + r""",
 sh AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-              ELSE array_to_string(tk, ' ') END AS shingle
+         CAST('0x' || substr(md5(
+           CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                ELSE array_to_string(tk, ' ') END), 1, 15) AS BIGINT) AS sh_h
   FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS u(i)
 )"""
 )
@@ -99,11 +102,11 @@ def _sql_clusters(rounds: int = 8) -> str:
     return f"""
 WITH {_SHINGLES_CTE},
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-ok_sh AS (SELECT shingle FROM sh GROUP BY shingle
+ok_sh AS (SELECT sh_h FROM sh GROUP BY sh_h
           HAVING count(*) BETWEEN 2 AND {HOT_SHINGLE_CAP}),
 p AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  FROM sh a JOIN sh b USING (sh_h) JOIN ok_sh USING (sh_h)
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -195,11 +198,11 @@ FROM documents GROUP BY md5(text)
         "dedup_jaccard": f"""
 WITH {_SHINGLES_CTE},
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-ok_sh AS (SELECT shingle FROM sh GROUP BY shingle
+ok_sh AS (SELECT sh_h FROM sh GROUP BY sh_h
           HAVING count(*) BETWEEN 2 AND {HOT_SHINGLE_CAP}),
 p AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  FROM sh a JOIN sh b USING (sh_h) JOIN ok_sh USING (sh_h)
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -212,12 +215,12 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 WITH {_SHINGLES_CTE},
 ks AS (SELECT unnest(range({MINHASH_K})) AS k),
 sig AS (
-  SELECT doc_id, k, min({sql_stable_id("CAST(k AS VARCHAR) || '|' || shingle")}) AS mh
+  SELECT doc_id, k, min({sql_stable_id("CAST(k AS VARCHAR) || '|' || CAST(sh_h AS VARCHAR)")}) AS mh
   FROM sh CROSS JOIN ks GROUP BY doc_id, k
 ),
 bands AS (
   SELECT doc_id, k // {MINHASH_BAND} AS band,
-         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bucket
+         CAST('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)), 1, 15) AS BIGINT) AS bucket
   FROM sig GROUP BY doc_id, k // {MINHASH_BAND}
 ),
 grp AS (SELECT band, bucket FROM bands GROUP BY band, bucket

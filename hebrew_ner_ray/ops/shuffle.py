@@ -1,16 +1,26 @@
-"""Bucketed aggregation — the engine's high-cardinality groupby.
+"""Keyed exchange + vectorized per-partition aggregation — the engine's
+high-cardinality groupby.
 
-``Dataset.groupby(keys).aggregate(...)`` pays per-distinct-key Python
-overhead in the reduce phase; with millions of distinct keys (near-dup
-pairs, content hashes, entities at web scale) that dominates wall time
-(measured: 1.1M pair keys → 253 s vs 12 s bucketed at sf0.1).
+Two Ray Data machinery pitfalls drive the design (both measured):
 
-``bucketed_aggregate`` shuffles once on a COARSE deterministic bucket of
-the key (vectorized ``pd.util.hash_pandas_object``) and runs the real
-groupby VECTORIZED in pandas inside each bucket. Every key lives in
-exactly one bucket, so the bucket-local aggregate is exact. Bucket count
-scales with the cluster, not with key cardinality — this is the salted
-shuffle pattern from SURVEY.md §4 applied to the reduce side.
+1. ``Dataset.groupby().aggregate()`` / per-group ``map_groups`` pay
+   per-distinct-key Python overhead in the reduce phase; with millions of
+   distinct keys that dominates wall time (1.1M pair keys → 253 s vs
+   12 s with a partition-level pandas groupby at sf0.1).
+2. The sort-based shuffle picks reducer boundaries from raw sample
+   quantiles with no dedup (ray sort_task_spec.sample_boundaries);
+   duplicate sampled values create EMPTY, SCHEMA-LESS output partitions
+   that no downstream UDF can repair — Ray skips empty blocks in both
+   map_groups and map_batches (verified empirically), so the schema
+   drift warnings they cause are permanent once born.
+
+The fix for both: the engine runs with
+``DataContext.shuffle_strategy = HASH_SHUFFLE`` (hebrew_ner_ray/__init__)
+and every wide aggregation is ONE deterministic hash exchange
+(``repartition(n, keys=...)`` — no sampling, no empty-partition lottery,
+empties that do occur carry their schema) followed by a single vectorized
+pandas groupby per partition. Partition count scales with the cluster,
+never with key cardinality.
 """
 
 from __future__ import annotations
@@ -20,18 +30,17 @@ from typing import Callable, Sequence
 import numpy as np
 import pandas as pd
 
-# Large bucket domain: sort boundaries are raw sample quantiles with no
-# dedup (ray sort_task_spec.sample_boundaries), so low-cardinality bucket
-# values with high multiplicity produce DUPLICATE boundaries -> empty,
-# schema-less sort partitions. 1024 buckets keeps sampled values nearly
-# distinct (boundaries unique) while per-group call overhead stays
-# negligible (~0.3 ms x 1024 across the pool).
-DEFAULT_BUCKETS = 1024
+DEFAULT_PARTITIONS = 32
+SMALL_AGG_ROWS = 200_000
+
+# retained for callers that pre-bucket by hand / tests
+DEFAULT_BUCKETS = 4096
 _BUCKET_COL = "__bucket"
 
 
 def add_key_bucket(batch: pd.DataFrame, key_cols: Sequence[str],
                    n_buckets: int = DEFAULT_BUCKETS) -> pd.DataFrame:
+    """Vectorized coarse bucket of a composite key (hash_pandas_object)."""
     h = np.zeros(len(batch), dtype=np.uint64)
     for c in key_cols:
         h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
@@ -44,9 +53,17 @@ def add_key_bucket(batch: pd.DataFrame, key_cols: Sequence[str],
 
 def typed_empty(cols: dict[str, str]) -> pd.DataFrame:
     """Schema-stable zero-row frame — every partial/reduce fn returns this
-    for empty input so no operator ever emits a column-less block
-    (PandasBlockSchema(names=[]) drift, round-1 verdict item 7)."""
+    for empty input so no operator ever emits a column-less block."""
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+
+def _hash_strategy_active() -> bool:
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        return DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    except ImportError:
+        return False
 
 
 def bucketed_aggregate(
@@ -56,18 +73,24 @@ def bucketed_aggregate(
     n_buckets: int = DEFAULT_BUCKETS,
     coalesce: int | None = None,
 ):
-    """``agg`` receives one bucket's rows (bucket column removed) and must
-    perform the full groupby-aggregate for the keys it sees — INCLUDING
-    empty input (map_groups hands empty partitions a column-less frame;
-    ``agg`` must return its typed empty schema there).
+    """Keyed exchange on ``key_cols`` then the COMPLETE groupby-aggregate
+    per partition: ``agg`` receives one partition's rows (every key wholly
+    contained) and must aggregate all keys it sees — INCLUDING empty input
+    (return the typed empty schema there).
 
-    ``coalesce``: repartition the bucketed rows to this many blocks before
-    the groupby. The sort behind map_groups emits one output partition per
-    input block; partitions holding no bucket come out as SCHEMA-LESS
-    empty blocks (PandasBlockSchema(names=[]) drift). Keeping partitions ≤
-    occupied buckets eliminates them — use for high-cardinality keys where
-    every bucket is occupied (the KG pipeline's repartition-then-aggregate
-    pattern). For ≲100-key finals use ``small_key_aggregate`` instead."""
+    HASH strategy (engine default): one deterministic
+    ``repartition(n, keys=...)`` — schema-stable empties, ~2 s fixed
+    aggregator spin-up per exchange (amortized at scale).
+    SORT strategy (GRAFT_SORT_SHUFFLE=1): the legacy coarse-bucket
+    ``groupby(bucket).map_groups`` — lower fixed cost, but empty sort
+    partitions from duplicate sampled boundaries emit schema-less blocks.
+
+    ``coalesce`` sets the partition count (default DEFAULT_PARTITIONS).
+    Per-partition work is one pandas groupby over ~keys/n of the data."""
+    if _hash_strategy_active():
+        n = coalesce or DEFAULT_PARTITIONS
+        parts = ds.repartition(n, keys=list(key_cols))
+        return parts.map_batches(agg, batch_format="pandas", batch_size=None)
     bucketed = ds.map_batches(
         lambda b: add_key_bucket(b, key_cols, n_buckets), batch_format="pandas"
     )
@@ -82,12 +105,54 @@ def bucketed_aggregate(
     return bucketed.groupby(_BUCKET_COL).map_groups(run, batch_format="pandas")
 
 
+def grouped_exchange(
+    ds,
+    key_cols: Sequence[str],
+    group_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    n_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Keyed exchange then ``group_fn`` applied to each COMPLETE key group
+    (the map_groups shape): one task per partition, a python loop over
+    that partition's groups, one concat. ``group_fn`` must return its
+    typed empty frame for empty input (schema-stable empties).
+    Falls back to sort-based ``groupby().map_groups`` under
+    GRAFT_SORT_SHUFFLE=1."""
+    keys = list(key_cols)
+    if not _hash_strategy_active():
+        return ds.groupby(keys).map_groups(group_fn, batch_format="pandas")
+    parts = ds.repartition(n_partitions, keys=keys)
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return group_fn(b)
+        frames = [group_fn(g) for _, g in b.groupby(keys, sort=False)]
+        return pd.concat(frames, ignore_index=True)
+
+    return parts.map_batches(run, batch_format="pandas", batch_size=None)
+
+
+def keyed_aggregate(partials, key_cols: Sequence[str],
+                    agg: Callable[[pd.DataFrame], pd.DataFrame],
+                    coalesce: int | None = None,
+                    count: int | None = None,
+                    small_limit: int = SMALL_AGG_ROWS):
+    """Size-aware final aggregation: when the caller knows the partial row
+    count (e.g. from a materialized partial set) and it is small, reduce
+    in ONE task — no exchange at all, exact, and never more partitions
+    than keys. Otherwise the hash-partitioned aggregate. The
+    dedup_clusters dispatch pattern applied to aggregation: degenerate
+    corpora never pay an all-to-all, production cardinalities never
+    collect to one task."""
+    if count is not None and count <= small_limit:
+        return small_key_aggregate(partials, agg)
+    return bucketed_aggregate(partials, key_cols, agg, coalesce=coalesce or 16)
+
+
 def small_key_aggregate(partials, agg: Callable[[pd.DataFrame], pd.DataFrame]):
     """Final combine for LOW-cardinality keys (TPC-H Q1's 6 groups, 25
     nations): partial aggregation has already shrunk the data to
     (#blocks × #keys) rows, so the exact final reduce is one task over one
-    coalesced block — no sort, no empty partitions, schema stable.
-    ``agg`` sees every partial row in a single call."""
+    coalesced block. ``agg`` sees every partial row in a single call."""
     return partials.repartition(1).map_batches(
         agg, batch_format="pandas", batch_size=None
     )

@@ -115,34 +115,45 @@ def ann_topk(sf_dir: str):
         batch_size=1024,
         concurrency=default_concurrency(),
     )
-    return local.groupby("query_id").map_groups(_final_topk, batch_format="pandas")
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
+    # tiny merge (queries x k x blocks rows): one partition — more
+    # partitions than queries would just mint empty blocks
+    return grouped_exchange(local, ["query_id"], _final_topk, n_partitions=1)
 
 
 # --- exact τ-pairs: distributed triangle block join ---
 
 
-def _pair_block_explode(batch: pd.DataFrame, n_blocks: int) -> pd.DataFrame:
+def _pair_block_explode(batch: "pa.Table", n_blocks: int) -> "pa.Table":
     """Each vector (bucket p = vec_id % B) is emitted once per unordered
     bucket pair it participates in: keys (min(p,t), max(p,t)) for every t.
     Replication factor is exactly B — independent of corpus size — and
-    every (a, b) pair lives in exactly one (lo, hi) group."""
-    ids = batch["vec_id"].to_numpy()
+    every (a, b) pair lives in exactly one (lo, hi) group.
+
+    ARROW-native on purpose: the embedding must cross the hash exchange as
+    a plain list<float32> column. A pandas object column of ndarrays gets
+    tensor-extension pandas metadata at the shuffle's pandas→arrow
+    boundary, and the reverse conversion then fails intermittently with
+    'format number 1 of "numpy.ndarray(...)" is not recognized'."""
+    import pyarrow as pa
+
+    ids = batch.column("vec_id").to_numpy()
     p = (ids % n_blocks).astype(np.int64)
     t = np.arange(n_blocks, dtype=np.int64)
     lo = np.minimum(p[:, None], t[None, :]).ravel()
     hi = np.maximum(p[:, None], t[None, :]).ravel()
-    rep = np.repeat(np.arange(len(ids)), n_blocks)
-    out = pd.DataFrame(
+    rep = pa.array(np.repeat(np.arange(len(ids)), n_blocks))
+    # (p,p) appears once per vector — (lo,hi) pairs for fixed p are
+    # distinct across t, so rows are already unique
+    return pa.table(
         {
-            "lo": lo,
-            "hi": hi,
-            "vec_id": ids[rep],
-            "embedding": batch["embedding"].to_numpy()[rep],
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "vec_id": batch.column("vec_id").take(rep),
+            "embedding": batch.column("embedding").take(rep),
         }
     )
-    # (p,p) appears B times per vector via t==p only once — already unique
-    # rows because (lo,hi) pairs for fixed p are distinct across t
-    return out
 
 
 def _pairs_in_block(g: pd.DataFrame, tau: float, n_blocks: int) -> pd.DataFrame:
@@ -190,10 +201,12 @@ def embedding_pairs(sf_dir: str, tau: float = PAIR_TAU, n_blocks: int = PAIR_BLO
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     exploded = ds.map_batches(
-        lambda b: _pair_block_explode(b, n_blocks), batch_format="pandas"
+        lambda b: _pair_block_explode(b, n_blocks), batch_format="pyarrow"
     )
-    return exploded.groupby(["lo", "hi"]).map_groups(
-        lambda g: _pairs_in_block(g, tau, n_blocks), batch_format="pandas"
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
+    return grouped_exchange(
+        exploded, ["lo", "hi"], lambda g: _pairs_in_block(g, tau, n_blocks)
     )
 
 
@@ -222,21 +235,28 @@ def embedding_pairs_lsh(sf_dir: str, tau: float = PAIR_TAU,
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, mat = _batch_matrix(b)
-        frames = []
+    def explode(b: "pa.Table") -> "pa.Table":
+        # arrow-native for the same list<float32> exchange reason as
+        # _pair_block_explode
+        import pyarrow as pa
+
+        ids = b.column("vec_id").to_numpy()
+        mat = np.stack(b.column("embedding").to_pylist()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        tables, buckets = [], []
         for t in range(n_tables):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "table": np.full(len(ids), t, dtype=np.int64),
-                        "bucket": _table_buckets(mat, t),
-                        "vec_id": ids,
-                        "embedding": b["embedding"].to_numpy(),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            tables.append(np.full(n, t, dtype=np.int64))
+            buckets.append(_table_buckets(mat, t))
+        rep = pa.array(np.tile(np.arange(n), n_tables))
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(tables)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "vec_id": b.column("vec_id").take(rep),
+                "embedding": b.column("embedding").take(rep),
+            }
+        )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -254,9 +274,11 @@ def embedding_pairs_lsh(sf_dir: str, tau: float = PAIR_TAU,
             }
         ).drop_duplicates(["a", "b"])
 
-    cand = ds.map_batches(explode, batch_format="pandas").groupby(
-        ["table", "bucket"]
-    ).map_groups(pairs_in_bucket, batch_format="pandas")
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
+    cand = grouped_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"), ["table", "bucket"], pairs_in_bucket
+    )
     return bucketed_aggregate(
         cand, ["a", "b"],
         lambda g: g.drop_duplicates(["a", "b"]) if len(g) else _empty_pairs(),
@@ -312,4 +334,8 @@ def ivf_topk(sf_dir: str):
         BucketScorer, batch_format="pandas", batch_size=1024,
         concurrency=default_concurrency(),
     )
-    return local.groupby("query_id").map_groups(_final_topk, batch_format="pandas")
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
+    # tiny merge (queries x k x blocks rows): one partition — more
+    # partitions than queries would just mint empty blocks
+    return grouped_exchange(local, ["query_id"], _final_topk, n_partitions=1)

@@ -97,10 +97,11 @@ def events_sessions(sf_dir: str):
     """Session windows (gap > 30 min) per user."""
     import ray.data
 
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
-    # coalesce before the partition-by-user sort: partitions ≤ distinct
-    # users keeps the sort from emitting schema-less empty blocks
-    return ds.repartition(32).groupby("user_id").map_groups(_sessionize_group, batch_format="pandas")
+    # hash-partition by user; each task sessionizes its users one by one
+    return grouped_exchange(ds, ["user_id"], _sessionize_group)
 
 
 def events_top_users(sf_dir: str, k: int = 20):

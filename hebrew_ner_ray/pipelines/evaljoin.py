@@ -57,7 +57,8 @@ def eval_vs_gold(sf_dir: str, num_partitions: int | None = None):
         on=("doc_id", "span_ord", "word_idx"),
         right_suffix="_gold",
     )
-    partials = joined.groupby(["doc_id", "span_ord"]).map_groups(
-        _sentence_counts_group, batch_format="pandas"
-    )
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
+    partials = grouped_exchange(joined, ["doc_id", "span_ord"], _sentence_counts_group,
+                                n_partitions=num_partitions)
     return evaluate_datasets(partials)

@@ -19,11 +19,12 @@ DEFAULT_BATCH_SIZE = 8192  # spans per annotate dispatch; large enough that
 # per-batch dispatch overhead amortizes, small enough for pool balance
 
 
-def text_spans(sf_dir: str, replicas: int = 1, diversify: bool = False):
+def text_spans(sf_dir: str, replicas: int = 1, diversify: bool = False,
+               entity_mix: int = 0):
     # media_refs=False: text-only consumers never see media spans, so the
     # per-span md5 is pruned at the source
     docs = read_interleaved(sf_dir, replicas=replicas, media_refs=False,
-                            diversify=diversify)
+                            diversify=diversify, entity_mix=entity_mix)
     return flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
 
 
@@ -32,10 +33,12 @@ from hebrew_ner_ray.runtime import default_concurrency  # noqa: E402  (re-export
 
 
 def annotated(sf_dir: str, emit: str, replicas: int = 1, concurrency=None,
-              batch_size: int = DEFAULT_BATCH_SIZE, diversify: bool = False):
+              batch_size: int = DEFAULT_BATCH_SIZE, diversify: bool = False,
+              entity_mix: int = 0):
     """Annotation over text spans — an autoscaling actor pool (stateful
     stage: the gazetteer index is built once per actor)."""
-    spans = text_spans(sf_dir, replicas=replicas, diversify=diversify)
+    spans = text_spans(sf_dir, replicas=replicas, diversify=diversify,
+                       entity_mix=entity_mix)
     return spans.map_batches(
         AnnotateBatch,
         fn_constructor_kwargs={"emit": emit},
@@ -60,12 +63,17 @@ def annotated_crf(sf_dir: str, replicas: int = 1, concurrency=None,
     )
 
 
-def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = True):
+def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = True,
+                diversify: bool = False, entity_mix: int = 0):
     """(nodes_ds, edges_ds) for the corpus — single annotation pass
-    (emit='kg' union rows), both aggregations off the shared rows."""
+    (emit='kg' union rows), both aggregations off the shared rows.
+
+    ``diversify``/``entity_mix`` select the non-degenerate benchmark
+    corpus: all-distinct sentences and corpus-scaled entity cardinality."""
     from hebrew_ner_ray.kg.canonical import graph_from_kg_rows
 
-    kg_rows = annotated(sf_dir, "kg", replicas, concurrency)
+    kg_rows = annotated(sf_dir, "kg", replicas, concurrency,
+                        diversify=diversify, entity_mix=entity_mix)
     return graph_from_kg_rows(kg_rows, sort=sort)
 
 

@@ -51,7 +51,8 @@ def doc_id_str(ids: np.ndarray) -> np.ndarray:
     return np.asarray([f"doc-{i:08d}" for i in ids], dtype=object)
 
 
-def span_fields(ids: np.ndarray, media_refs: bool = True, diversify: bool = False):
+def span_fields(ids: np.ndarray, media_refs: bool = True, diversify: bool = False,
+                entity_mix: int = 0):
     """Vectorized span attributes for a batch of integer doc ids.
 
     Returns (offsets, kind, text, media_ref, span_ord, parent_pos) where
@@ -85,6 +86,18 @@ def span_fields(ids: np.ndarray, media_refs: bool = True, diversify: bool = Fals
             np.asarray([f"{t} מספר {s}" for t, s in zip(text, salt)], dtype=object),
             "",
         ).astype(object)
+    if entity_mix:
+        # mixed corpus (non-degenerate benchmark mode): every text span
+        # also mentions a synthetic entity פלוני<eid> with eid drawn from a
+        # corpus-scaled modulus, so entity cardinality grows with the data
+        # (node/edge aggregation sees realistic key counts instead of the
+        # 19 fixture entities). Pure integer formula — SQL-reproducible.
+        eid = (i * 2654435761 + j * 97) % entity_mix
+        text = np.where(
+            is_text,
+            np.asarray([f"{t} על פלוני{e}" for t, e in zip(text, eid)], dtype=object),
+            "",
+        ).astype(object)
 
     media_ref = np.full(total, "", dtype=object)
     if media_refs:
@@ -100,14 +113,14 @@ def span_fields(ids: np.ndarray, media_refs: bool = True, diversify: bool = Fals
 
 
 def generate_docs_batch(batch: "pa.Table | dict", media_refs: bool = True,
-                        diversify: bool = False) -> pa.Table:
+                        diversify: bool = False, entity_mix: int = 0) -> pa.Table:
     """``map_batches`` transform: integer ids → interleaved doc rows."""
     if isinstance(batch, dict):
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
     else:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     offsets, kind, text, media_ref, span_ord, _parent = span_fields(
-        ids, media_refs=media_refs, diversify=diversify)
+        ids, media_refs=media_refs, diversify=diversify, entity_mix=entity_mix)
     struct = pa.StructArray.from_arrays(
         [
             pa.array(kind, type=pa.string()),
@@ -124,7 +137,7 @@ def generate_docs_batch(batch: "pa.Table | dict", media_refs: bool = True,
 
 
 def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True,
-                     diversify: bool = False):
+                     diversify: bool = False, entity_mix: int = 0):
     """Dataset of interleaved docs anchored to the testdata ``documents`` ids.
 
     ``replicas > 1`` scales the corpus for benchmarking: each base id d
@@ -150,7 +163,8 @@ def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True,
     # accounted against PRE-flatten doc rows and collapse pool parallelism.
     def gen(batch: pa.Table) -> pa.Table:
         return generate_docs_batch({"doc_id": batch.column("id").to_numpy()},
-                                   media_refs=media_refs, diversify=diversify)
+                                   media_refs=media_refs, diversify=diversify,
+                                   entity_mix=entity_mix)
 
     return ids.map_batches(gen, batch_format="pyarrow", batch_size=4096, num_cpus=0.9)
 

@@ -72,7 +72,10 @@ def main():
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
+            import traceback
+
             print(f"[ERR ] {name}: ray side failed: {type(e).__name__}: {e}")
+            traceback.print_exc()
             failures += 1
             continue
         sql = oracles.get(name)
