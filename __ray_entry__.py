@@ -75,6 +75,11 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return annotated_crf(sf_dir)
 
+    def ner_crf_nbest(sf_dir: str):
+        from hebrew_ner_ray.pipelines.kg import annotated_crf_nbest
+
+        return annotated_crf_nbest(sf_dir)
+
     def eval_vs_gold(sf_dir: str):
         from hebrew_ner_ray.pipelines.evaljoin import eval_vs_gold as ev
 
@@ -82,6 +87,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "ner_crf": ner_crf,
+        "ner_crf_nbest": ner_crf_nbest,
         "eval_vs_gold": eval_vs_gold,
         "eval_hybrid_vs_single": eval_hybrid_vs_single,
         "morph_groupings": _ner("groupings"),
@@ -112,6 +118,7 @@ def _kg_oracles() -> dict[str, str]:
         "ner_morph": o.sql_morph(),
         "ner_hybrid": o.sql_token_labels("hybrid"),
         "ner_crf": o.sql_token_labels("crf"),
+        "ner_crf_nbest": o.sql_crf_nbest(),
         "eval_vs_gold": o.sql_eval_vs_gold(),
         "kg_mentions": o.sql_mentions(),
         "kg_triples": o.sql_triples(),

@@ -242,6 +242,20 @@ FROM tot
 """
 
 
+def sql_crf_nbest() -> str:
+    rows = []
+    for t, a in enumerate(template_artifacts()):
+        for rank, ppm, labels in a["crf_nbest"]:
+            rows.append((t, rank, ppm, labels))
+    return f"""WITH {CORPUS_CTE},
+{_gold_cte('gold', 't, rank, score_ppm, labels', rows)}
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS span_ord, CAST(g.rank AS BIGINT) AS rank,
+       CAST(g.score_ppm AS BIGINT) AS score_ppm, g.labels
+FROM attrs a JOIN gold g ON a.t = g.t
+WHERE a.is_text
+"""
+
+
 def sql_eval_vs_gold() -> str:
     """Oracle for the pred↔gold join eval: per-template span counts of
     (gazetteer single) vs (CRF gold) computed in-process, weighted by the

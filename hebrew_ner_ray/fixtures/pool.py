@@ -81,8 +81,13 @@ def _compute_template_artifacts():
     # batch composition (mask-guarded padding; pinned by test_crf)
     all_tokens = [text_to_token_sentences(t)[0] for t in TEMPLATES]
     crf_labels = crf.decode(all_tokens)
+    nb_scores, nb_hyps = crf.decode_nbest(all_tokens, 3)
+    crf_nbest = [
+        [(r, int(round(s * 1_000_000)), " ".join(h)) for r, (s, h) in enumerate(zip(ss, hh))]
+        for ss, hh in zip(nb_scores, nb_hyps)
+    ]
     arts = []
-    for text, crf_labs in zip(TEMPLATES, crf_labels):
+    for text, crf_labs, crf_nb in zip(TEMPLATES, crf_labels, crf_nbest):
         sents = text_to_token_sentences(text)
         assert len(sents) == 1, f"template must be a single sentence: {text!r}"
         tokens = sents[0]
@@ -99,6 +104,7 @@ def _compute_template_artifacts():
                 "tokens": tokens,
                 "single": single,
                 "crf": crf_labs,
+                "crf_nbest": crf_nb,
                 "multi": multi,
                 "morph_forms": forms,
                 "morph_labels": morph,

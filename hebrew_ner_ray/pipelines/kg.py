@@ -63,6 +63,23 @@ def annotated_crf(sf_dir: str, replicas: int = 1, concurrency=None,
     )
 
 
+def annotated_crf_nbest(sf_dir: str, nbest: int = 3, replicas: int = 1, concurrency=None,
+                        batch_size: int = DEFAULT_BATCH_SIZE):
+    """k-best CRF decoding as a relation (doc_id, span_ord, rank,
+    score_ppm, labels) — the reference's nbest decode (`# score` header,
+    utils/data.py:399-442) with the scores in exact ppm ints."""
+    from hebrew_ner_ray.pipelines.stages import CrfAnnotateBatch
+
+    spans = text_spans(sf_dir, replicas=replicas)
+    return spans.map_batches(
+        CrfAnnotateBatch,
+        fn_constructor_kwargs={"nbest": nbest},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
 def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = True,
                 diversify: bool = False, entity_mix: int = 0):
     """(nodes_ds, edges_ds) for the corpus — single annotation pass

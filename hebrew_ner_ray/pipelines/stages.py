@@ -257,7 +257,25 @@ class CrfAnnotateBatch:
 
         self.model = CRFModel()
         self.nbest = nbest
-        self._cache: dict[str, tuple] = {}  # text -> (words, labels)
+        self._cache: dict[str, tuple] = {}  # text -> (words, labels) | nbest rows
+
+    def _decode_fresh(self, fresh):
+        tok_lists = [
+            [t for sent in text_to_token_sentences(x) for t in sent] for x in fresh
+        ]
+        if self.nbest:
+            scores, hyps = self.model.decode_nbest(tok_lists, self.nbest)
+            for x, ss, hh in zip(fresh, scores, hyps):
+                # one row per hypothesis: (rank, score_ppm, labels joined)
+                self._cache[x] = (
+                    list(range(len(hh))),
+                    [int(round(s * 1_000_000)) for s in ss],
+                    [" ".join(h) for h in hh],
+                )
+            return
+        labelings = self.model.decode(tok_lists)
+        for x, toks, labs in zip(fresh, tok_lists, labelings):
+            self._cache[x] = (toks, labs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -266,12 +284,10 @@ class CrfAnnotateBatch:
         codes, uniques = pd.factorize(pd.array(texts), use_na_sentinel=False)
         fresh = [t for t in uniques if t not in self._cache]
         if fresh:
-            tok_lists = [
-                [t for sent in text_to_token_sentences(x) for t in sent] for x in fresh
-            ]
-            labelings = self.model.decode(tok_lists)
-            for x, toks, labs in zip(fresh, tok_lists, labelings):
-                self._cache[x] = (toks, labs)
+            self._decode_fresh(fresh)
+
+        if self.nbest:
+            return self._emit_nbest(batch, codes, uniques)
 
         words, labels, starts, lens = [], [], np.empty(len(uniques), np.int64), np.empty(len(uniques), np.int64)
         pos = 0
@@ -307,6 +323,46 @@ class CrfAnnotateBatch:
                 "word_idx": pa.array(word_idx, type=pa.int64()),
                 "word": word_arr,
                 "label": label_arr,
+            }
+        )
+
+    def _emit_nbest(self, batch: pa.Table, codes, uniques) -> pa.Table:
+        """(doc_id, span_ord, rank, score_ppm, labels) — one row per
+        hypothesis per span, the `# score` nbest contract as a relation."""
+        ranks, ppms, labstrs = [], [], []
+        starts = np.empty(len(uniques), np.int64)
+        lens = np.empty(len(uniques), np.int64)
+        pos = 0
+        for u, text in enumerate(uniques):
+            r, p, ls = self._cache[text]
+            ranks.extend(r)
+            ppms.extend(p)
+            labstrs.extend(ls)
+            starts[u], lens[u] = pos, len(r)
+            pos += len(r)
+        row_starts = starts[codes]
+        row_lens = lens[codes]
+        total = int(row_lens.sum())
+        if total == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": [], "span_ord": [], "rank": [], "score_ppm": [], "labels": []},
+                schema=pa.schema([("doc_id", pa.string()), ("span_ord", pa.int64()),
+                                  ("rank", pa.int64()), ("score_ppm", pa.int64()),
+                                  ("labels", pa.string())]),
+            )
+        seg_starts = np.cumsum(row_lens) - row_lens
+        gather = (np.repeat(row_starts, row_lens)
+                  + np.arange(total, dtype=np.int64)
+                  - np.repeat(seg_starts, row_lens))
+        row_idx = np.repeat(np.arange(len(codes), dtype=np.int64), row_lens)
+        g = pa.array(gather)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(row_idx)),
+                "span_ord": batch.column("span_ord").take(pa.array(row_idx)).cast(pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()).take(g),
+                "score_ppm": pa.array(ppms, type=pa.int64()).take(g),
+                "labels": pa.array(labstrs, type=pa.string()).take(g),
             }
         )
 

@@ -97,6 +97,38 @@ def test_label_space():
     assert LABELS[0] == "O" and N_LABELS == 1 + 9 * 4
 
 
+def test_nbest_batch_composition_independence(model, sents):
+    """Same property as decode: the k-best output of a sentence must not
+    depend on batch composition (the nbest oracle joins per-template)."""
+    full_s, full_h = model.decode_nbest(sents, 3)
+    for i in (0, 5, 15):
+        ss, hh = model.decode_nbest([sents[i]], 3)
+        assert hh[0] == full_h[i]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(ss[0], full_s[i]))
+
+
+def test_crf_nbest_stage(ray_session):
+    """ner_crf_nbest relation: one row per hypothesis per span, ppm scores
+    summing to ~1e6, rank-0 labels equal to the 1-best decode."""
+    from hebrew_ner_ray.pipelines.kg import annotated_crf, annotated_crf_nbest
+
+    SF = "/root/testdata/sf0.001"
+    nb = annotated_crf_nbest(SF).to_pandas()
+    assert set(nb.columns) == {"doc_id", "span_ord", "rank", "score_ppm", "labels"}
+    per_span = nb.groupby(["doc_id", "span_ord"])
+    assert (per_span["rank"].count() == 3).all()
+    sums = per_span["score_ppm"].sum()
+    assert ((sums - 1_000_000).abs() <= 3).all()  # rounding slack
+    best = annotated_crf(SF).to_pandas()
+    joined = (
+        best.sort_values(["doc_id", "span_ord", "word_idx"])
+        .groupby(["doc_id", "span_ord"])["label"].agg(" ".join)
+        .rename("labels_best").reset_index()
+    )
+    r0 = nb[nb["rank"] == 0].merge(joined, on=["doc_id", "span_ord"])
+    assert (r0["labels"] == r0["labels_best"]).all()
+
+
 def test_crf_stage_matches_direct(ray_session):
     """The distributed stage (actor pool, sf0.001) agrees row-for-row with
     a direct in-process decode of the same corpus."""
