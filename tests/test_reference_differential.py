@@ -36,6 +36,23 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _load_reference_fns(names: set):
+    """AST-extract arbitrary pure functions from reference utils/ner.py."""
+    src = (REF / "utils" / "ner.py").read_text()
+    tree = ast.parse(src)
+    module = ast.Module(
+        body=[n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name in names],
+        type_ignores=[],
+    )
+    ns = {
+        "string": string, "List": List, "Tuple": Tuple, "re": __import__("re"),
+        "Iterable": __import__("typing").Iterable,
+    }
+    exec(compile(module, "<reference utils/ner.py>", "exec"), ns)
+    assert names <= set(ns)
+    return ns
+
+
 def _load_reference_groupings():
     """Extract the grouping rule functions from the reference source by AST
     (utils/ner.py imports yap/config/pandas at module level, so a plain
@@ -171,3 +188,47 @@ def test_tokenizer_advice_cases():
     """Pinned cases from ADVICE.md: parenthesized numerics."""
     assert tokenize("(שנת 1990)") == ["(", "שנת", "1990", ")"]
     assert tokenize("(5)") == ["(", "5", ")"]
+
+
+def _random_biose(rng, n):
+    cats = ["PER", "ORG", "LOC", "GPE"]
+    out = []
+    i = 0
+    while i < n:
+        r = rng.random()
+        if r < 0.45:
+            out.append("O"); i += 1
+        elif r < 0.6:
+            out.append(f"S-{rng.choice(cats)}"); i += 1
+        else:
+            c = rng.choice(cats)
+            ln = min(rng.randint(2, 4), n - i)
+            if ln < 2:
+                out.append("O"); i += 1
+                continue
+            out.extend([f"B-{c}"] + [f"I-{c}"] * (ln - 2) + [f"E-{c}"])
+            i += ln
+        # occasionally corrupt the sequence (the fns must agree on invalid
+        # input too)
+        if rng.random() < 0.1 and out:
+            out[-1] = rng.choice(["I-PER", "E-ORG", "B-LOC", "O", "S-GPE"])
+    return out[:n]
+
+
+def test_spans_and_multi_validate_differential():
+    """make_spans (utils/ner.py:398-448) and validate_multi_to_single
+    (utils/ner.py:178-225) against the engine's labels/algebra.py over
+    10k random (including corrupted) label sequences."""
+    from hebrew_ner_ray.labels.algebra import (
+        make_spans as eng_spans,
+        validate_multi_to_single as eng_validate,
+    )
+
+    ns = _load_reference_fns({"make_spans", "validate_multi_to_single"})
+    ref_spans, ref_validate = ns["make_spans"], ns["validate_multi_to_single"]
+    rng = random.Random(0x5BA5)
+    for _ in range(10_000):
+        labels = _random_biose(rng, rng.randint(1, 12))
+        assert eng_spans(labels) == ref_spans(labels), labels
+        multi = "^".join(labels)
+        assert eng_validate(multi) == tuple(ref_validate(multi)), multi
