@@ -1,0 +1,85 @@
+"""Job entrypoint for ``ray job submit`` — the north rule's cluster
+execution surface.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m hebrew_ner_ray.jobs --pipeline kg \
+            --sf-dir s3://bucket/corpus --out-dir s3://bucket/graph \
+            --n-partitions 256
+
+The module owns its Ray session when run as ``__main__`` (connecting to
+the cluster via RAY_ADDRESS, which ``ray job submit`` sets); as a library
+import it never initializes Ray. The resumable path writes per-partition
+checkpoints with lineage manifests (state/checkpoint.py), so re-submitting
+the same job after a node loss skips completed partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run_job(args: argparse.Namespace) -> dict:
+    from hebrew_ner_ray.config import build_pipeline
+
+    cfg = {
+        "pipeline": args.pipeline,
+        "sf_dir": args.sf_dir,
+        "replicas": str(args.replicas),
+    }
+    if args.out_dir:
+        cfg["out_dir"] = args.out_dir
+    if args.n_partitions:
+        cfg["n_partitions"] = str(args.n_partitions)
+    if args.emit:
+        cfg["emit"] = args.emit
+
+    t0 = time.perf_counter()
+    result = build_pipeline(cfg)
+    if isinstance(result, tuple):  # (nodes, edges) datasets
+        counts = {"nodes": result[0].count(), "edges": result[1].count()}
+    elif isinstance(result, str):  # sink path
+        counts = {"out_dir": result}
+    elif hasattr(result, "count"):
+        counts = {"rows": result.count()}
+    else:
+        counts = {"rows": len(result)}
+    return {
+        "pipeline": args.pipeline,
+        "sf_dir": args.sf_dir,
+        "sec": round(time.perf_counter() - t0, 3),
+        **counts,
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="hebrew_ner_ray job entrypoint")
+    parser.add_argument("--pipeline", default="kg",
+                        choices=["ner", "crf", "kg", "kg_resumable", "curation",
+                                 "eval_vs_gold"])
+    parser.add_argument("--sf-dir", required=True)
+    parser.add_argument("--out-dir", default=None)
+    parser.add_argument("--emit", default=None)
+    parser.add_argument("--replicas", type=int, default=1)
+    parser.add_argument("--n-partitions", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; locally
+        # this starts a sandbox session
+        ray.init(include_dashboard=False)
+    try:
+        print(json.dumps(run_job(args)))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

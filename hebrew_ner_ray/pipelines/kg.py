@@ -149,6 +149,15 @@ def build_graph_resumable(sf_dir: str, work_dir: str, n_partitions: int = 8,
 
     from hebrew_ner_ray.state.checkpoint import run_partitioned
 
+    import hebrew_ner_ray
+
+    lineage = {
+        "input": sf_dir,
+        "replicas": replicas,
+        "n_partitions": n_partitions,
+        "partitioner": "doc_id % n_partitions",
+        "engine": f"hebrew_ner_ray {hebrew_ner_ray.__version__}",
+    }
     for emit in ("mentions", "triples"):
         run_partitioned(
             f"{work_dir}/{emit}",
@@ -156,6 +165,7 @@ def build_graph_resumable(sf_dir: str, work_dir: str, n_partitions: int = 8,
             lambda k, emit=emit: annotated_partition(
                 sf_dir, emit, k, n_partitions, replicas=replicas, concurrency=concurrency
             ),
+            lineage={**lineage, "emit": emit},
         )
     import os
 

@@ -68,10 +68,16 @@ def run_partitioned(
     partitions: Iterable[int],
     build: Callable[[int], "object"],
     version: str = "1",
+    lineage: dict | None = None,
 ) -> List[int]:
     """Run ``build(partition) -> Dataset`` for every not-yet-done partition,
     writing each to ``out_dir/part=<k>`` atomically and appending to the
     manifest. Returns the list of partitions executed this run.
+
+    ``lineage`` is recorded verbatim on every manifest line (input source,
+    generator parameters, code identifiers) so a partition can be audited
+    or invalidated later: change the lineage-relevant inputs → bump
+    ``version`` (or delete the manifest) to force a rebuild.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
@@ -106,16 +112,16 @@ def run_partitioned(
         _fsync_dir(tmp)
         os.rename(tmp, final)
         _fsync_dir(out_dir)
-        _commit(
-            out_dir,
-            {
-                "partition": k,
-                "rows": n_rows,
-                "sec": round(time.perf_counter() - t0, 3),
-                "version": version,
-                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            },
-        )
+        record = {
+            "partition": k,
+            "rows": n_rows,
+            "sec": round(time.perf_counter() - t0, 3),
+            "version": version,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        if lineage:
+            record["lineage"] = lineage
+        _commit(out_dir, record)
         ran.append(k)
     return ran
 
