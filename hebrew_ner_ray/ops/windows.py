@@ -93,15 +93,86 @@ def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+_SPART_COLS = {"user_id": "int64", "start_us": "int64", "end_us": "int64",
+               "n_events": "int64", "total_value_micro": "int64"}
+
+
+def _session_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch sessionization: rows → maximal sessions WITHIN the batch
+    (user, start_us, end_us, n_events, total_value_micro). The combiner
+    that makes the exchange ship sessions (~events/10) instead of raw
+    events — exact because 1-D single-linkage clustering (gap ≤ G) is
+    associative under partitioning: merging partial session INTERVALS
+    whose end→start gap ≤ G reproduces the global clustering."""
+    if batch.empty:
+        return typed_empty_local(_SPART_COLS)
+    df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
+                       "us": _epoch_us(batch["ts"]).to_numpy(),
+                       "value_micro": _micro(batch["value"])})
+    df = df.sort_values(["user_id", "us"], kind="stable")
+    us = df["us"].to_numpy()
+    uid = df["user_id"].to_numpy()
+    brk = np.ones(len(df), dtype=np.int64)
+    same_user = uid[1:] == uid[:-1]
+    brk[1:] = (~same_user | (np.diff(us) > SESSION_GAP_US)).astype(np.int64)
+    sid = np.cumsum(brk)
+    g = (
+        pd.DataFrame({"user_id": uid, "sid": sid, "us": us,
+                      "value_micro": df["value_micro"].to_numpy()})
+        .groupby(["user_id", "sid"], as_index=False)
+        .agg(start_us=("us", "min"), end_us=("us", "max"),
+             n_events=("us", "size"), total_value_micro=("value_micro", "sum"))
+        .drop(columns=["sid"])
+    )
+    return g.astype(_SPART_COLS)[list(_SPART_COLS)]
+
+
+def typed_empty_local(cols):
+    from hebrew_ner_ray.ops.shuffle import typed_empty
+
+    return typed_empty(cols)
+
+
+def _merge_user_sessions(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's partial sessions → final session rows (interval merge on
+    end→start gap ≤ G), numbered by start time like the reference shape."""
+    g = g.sort_values("start_us", kind="stable")
+    starts = g["start_us"].to_numpy()
+    ends = g["end_us"].to_numpy()
+    brk = np.ones(len(g), dtype=np.int64)
+    # merge when this partial starts within GAP of the running max end
+    run_end = np.maximum.accumulate(ends)
+    brk[1:] = (starts[1:] - run_end[:-1] > SESSION_GAP_US).astype(np.int64)
+    sid = np.cumsum(brk)
+    out = (
+        pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid,
+                      "start_us": starts, "end_us": ends,
+                      "n_events": g["n_events"].to_numpy(),
+                      "total_value_micro": g["total_value_micro"].to_numpy()})
+        .groupby(["user_id", "session_id"], as_index=False)
+        .agg(n_events=("n_events", "sum"), start_us=("start_us", "min"),
+             end_us=("end_us", "max"), total_value_micro=("total_value_micro", "sum"))
+    )
+    return out.astype(_SESSION_COLS)[list(_SESSION_COLS)]
+
+
 def events_sessions(sf_dir: str):
-    """Session windows (gap > 30 min) per user."""
+    """Session windows (gap > 30 min) per user — per-batch session
+    combiner, then a keyed exchange of SESSION partials (~10× smaller than
+    the raw events) merged per user."""
     import ray.data
 
-    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
-    # hash-partition by user; each task sessionizes its users one by one
-    return grouped_exchange(ds, ["user_id"], _sessionize_group)
+    partials = ds.map_batches(_session_partials, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_SESSION_COLS)
+        return _merge_user_sessions(g)
+
+    return grouped_exchange(partials, ["user_id"], merge)
 
 
 def events_top_users(sf_dir: str, k: int = 20):
