@@ -78,6 +78,7 @@ def media_spans(sf_dir: str):
     return flat.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("kind"), "text")),
         batch_format="pyarrow",
+        num_cpus=0.9,  # unfused from the decoder pool (batch accounting)
     )
 
 

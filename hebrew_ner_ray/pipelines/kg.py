@@ -25,7 +25,11 @@ def text_spans(sf_dir: str, replicas: int = 1, diversify: bool = False,
     # per-span md5 is pruned at the source
     docs = read_interleaved(sf_dir, replicas=replicas, media_refs=False,
                             diversify=diversify, entity_mix=entity_mix)
-    return flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
+    # num_cpus=0.9: keep the filter unfused from the downstream actor pool
+    # (fused, the pool's batch_size counts pre-flatten doc rows and
+    # collapses task parallelism — see sources/interleaved.py note)
+    return flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow",
+                                           num_cpus=0.9)
 
 
 from hebrew_ner_ray.runtime import default_concurrency  # noqa: E402  (re-export;
@@ -128,7 +132,8 @@ def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: in
 
     docs = ids_ds.map_batches(gen_partition, batch_format="pyarrow", batch_size=4096,
                               num_cpus=0.9)
-    spans = flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow")
+    spans = flatten_spans(docs).map_batches(filter_text_spans, batch_format="pyarrow",
+                                            num_cpus=0.9)
     return spans.map_batches(
         AnnotateBatch,
         fn_constructor_kwargs={"emit": emit},

@@ -196,7 +196,11 @@ def flatten_spans(docs) -> "object":
             names=["doc_id", "span_ord", "kind", "text", "media_ref"],
         )
 
-    return docs.map_batches(_flat, batch_format="pyarrow")
+    # num_cpus=0.9 keeps this stage UNFUSED from a downstream actor-pool
+    # map: fused, the pool's batch_size would be accounted against
+    # PRE-flatten doc rows and collapse task parallelism (measured: 13
+    # tasks for a 28-actor pool on the mixed corpus — half the pool idle)
+    return docs.map_batches(_flat, batch_format="pyarrow", num_cpus=0.9)
 
 
 def check_span_invariant(batch: pa.Table) -> pa.Table:
