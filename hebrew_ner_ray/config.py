@@ -33,9 +33,12 @@ def config_file_to_dict(path: str) -> Dict[str, str]:
     config: Dict[str, str] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:
-            if line.startswith("#") or "=" not in line:
+            body = line.strip().split("#", 1)[0]
+            # skip when the only '=' lived in the comment (the reference
+            # parser crashes there — utils/data.py:628-630; we skip)
+            if not body or "=" not in body:
                 continue
-            item, value = line.strip().split("#", 1)[0].split("=", 1)
+            item, value = body.split("=", 1)
             config[item.strip()] = value.strip()
     return config
 

@@ -38,16 +38,18 @@ def run_job(args: argparse.Namespace) -> dict:
     if args.emit:
         cfg["emit"] = args.emit
 
+    import pandas as pd
+
     t0 = time.perf_counter()
     result = build_pipeline(cfg)
     if isinstance(result, tuple):  # (nodes, edges) datasets
         counts = {"nodes": result[0].count(), "edges": result[1].count()}
     elif isinstance(result, str):  # sink path
         counts = {"out_dir": result}
-    elif hasattr(result, "count"):
+    elif isinstance(result, pd.DataFrame):  # driver-side result (eval_vs_gold)
+        counts = {"rows": len(result), "result": result.to_dict("records")}
+    else:  # ray Dataset
         counts = {"rows": result.count()}
-    else:
-        counts = {"rows": len(result)}
     return {
         "pipeline": args.pipeline,
         "sf_dir": args.sf_dir,
@@ -67,6 +69,8 @@ def main(argv=None) -> int:
     parser.add_argument("--replicas", type=int, default=1)
     parser.add_argument("--n-partitions", type=int, default=None)
     args = parser.parse_args(argv)
+    if args.pipeline == "kg_resumable" and not args.out_dir:
+        parser.error("--pipeline kg_resumable requires --out-dir (checkpoint root)")
 
     import ray
 

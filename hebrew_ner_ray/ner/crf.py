@@ -86,6 +86,10 @@ class CRFModel:
     Build once per actor (__init__), decode per batch (__call__ path).
     """
 
+    EMIS_CACHE_MAX = 262_144  # bounded like gazetteer._CAND_CACHE — the
+    # actor is long-lived and distinct-vocabulary corpora would otherwise
+    # grow the cache without limit
+
     def __init__(self, use_gazetteer: bool = True):
         self.W_word = _seeded("w_word", HASH_DIM, N_LABELS, scale=1.0)
         self.W_pre = _seeded("w_pre", HASH_DIM, N_LABELS, scale=0.5)
@@ -108,7 +112,8 @@ class CRFModel:
                 + self.W_pre[stable_id(f"p|{word[:2]}") % HASH_DIM]
                 + self.W_suf[stable_id(f"s|{word[-2:]}") % HASH_DIM]
             )
-            self._emis_cache[word] = e
+            if len(self._emis_cache) < self.EMIS_CACHE_MAX:
+                self._emis_cache[word] = e
         return e
 
     def emissions(self, tokens: Sequence[str]) -> np.ndarray:
@@ -116,6 +121,8 @@ class CRFModel:
         START/STOP columns are NEG (never emitted), as in NCRF++."""
         n = len(tokens)
         out = np.full((n, N_TAGS), NEG, dtype=np.float64)
+        if n == 0:  # empty sentence: (0, N_TAGS) — callers slice to []
+            return out
         out[:, :N_LABELS] = [self._word_emission(w) for w in tokens]
         if self.tagger is not None and n:
             from hebrew_ner_ray.ner.tagger import token_single_labels

@@ -118,23 +118,6 @@ def shingle_explode_batch(batch: pd.DataFrame) -> pd.DataFrame:
                          "set_size": pd.array(rows_n, dtype="int64")})
 
 
-N_KEY_BUCKETS = 256  # large domain: see ops/shuffle.py DEFAULT_BUCKETS note
-
-
-def _add_bucket(batch: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
-    """Coarse deterministic bucket of the join key — the explicit
-    partitioned-hash-join pattern (ray_guide §joins): one groupby over B
-    buckets instead of millions of tiny key groups, with the pairing done
-    as a VECTORIZED pandas self-merge inside each bucket. Bucket hashing
-    is the shared vectorized ``hash_pandas_object`` kernel (buckets are
-    internal — any deterministic hash works; the SQL oracles never see
-    them)."""
-    from hebrew_ner_ray.ops.shuffle import _BUCKET_COL, add_key_bucket
-
-    b = add_key_bucket(batch, key_cols, N_KEY_BUCKETS)
-    return b.rename(columns={_BUCKET_COL: "bucket_id"})
-
-
 def _bucket_pair_fn(key_cols: list[str], carry_sizes: bool):
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -167,7 +150,6 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     pairs emitted vectorized per bucket), then a groupby over the (a, b)
     pairs summing shared-shingle counts."""
     import ray.data
-    from ray.data.aggregate import Max, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas")

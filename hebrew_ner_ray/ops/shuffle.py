@@ -17,10 +17,15 @@ Two Ray Data machinery pitfalls drive the design (both measured):
 The fix for both: the engine runs with
 ``DataContext.shuffle_strategy = HASH_SHUFFLE`` (hebrew_ner_ray/__init__)
 and every wide aggregation is ONE deterministic hash exchange
-(``repartition(n, keys=...)`` — no sampling, no empty-partition lottery,
-empties that do occur carry their schema) followed by a single vectorized
-pandas groupby per partition. Partition count scales with the cluster,
-never with key cardinality.
+(``repartition(n, keys=...)``) followed by a single vectorized pandas
+groupby per partition. Hash partitioning removes the sampling LOTTERY:
+empty partitions occur only in the deterministic, avoidable case of
+partitions > distinct keys (which ``keyed_aggregate``'s size-aware
+dispatch and per-callsite partition counts avoid) — NOT at random on
+high-cardinality data. Empties that do slip through still propagate
+schema-less past skipped UDFs, so the typed-empty guards in the agg fns
+stay as defense in depth. Partition count scales with the cluster, never
+with key cardinality.
 """
 
 from __future__ import annotations

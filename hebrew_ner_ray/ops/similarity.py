@@ -61,7 +61,9 @@ _PAIR_COLS = {"a": "int64", "b": "int64", "cosine": "float64"}
 
 
 def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_COLS.items()})
+    from hebrew_ner_ray.ops.shuffle import typed_empty
+
+    return typed_empty(_PAIR_COLS)
 
 
 class TopKScorer:

@@ -5,9 +5,9 @@ shapes the way the engine would at scale (ray_guide.md §streaming):
 
 - tumbling: window key computed vectorized per batch + per-batch partial
   aggregation → small groupby (no per-key state, pure shuffle-light agg).
-- session: ``groupby(user_id).map_groups`` over ts-sorted groups — the
-  partition-by-key-sort-within-partition pattern; state never crosses a
-  key boundary so the shuffle is one hash partition by user.
+- session: per-batch session combiner → keyed exchange of session
+  partials (~events/10) → per-user interval merge; state never crosses a
+  key boundary and the shuffle ships sessions, not events.
 - top-k users: partial agg → groupby → sort/limit.
 """
 
@@ -105,7 +105,9 @@ def _session_partials(batch: pd.DataFrame) -> pd.DataFrame:
     associative under partitioning: merging partial session INTERVALS
     whose end→start gap ≤ G reproduces the global clustering."""
     if batch.empty:
-        return typed_empty_local(_SPART_COLS)
+        from hebrew_ner_ray.ops.shuffle import typed_empty
+
+        return typed_empty(_SPART_COLS)
     df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
                        "us": _epoch_us(batch["ts"]).to_numpy(),
                        "value_micro": _micro(batch["value"])})
@@ -125,12 +127,6 @@ def _session_partials(batch: pd.DataFrame) -> pd.DataFrame:
         .drop(columns=["sid"])
     )
     return g.astype(_SPART_COLS)[list(_SPART_COLS)]
-
-
-def typed_empty_local(cols):
-    from hebrew_ner_ray.ops.shuffle import typed_empty
-
-    return typed_empty(cols)
 
 
 def _merge_user_sessions(g: pd.DataFrame) -> pd.DataFrame:

@@ -85,7 +85,8 @@ def annotated_crf_nbest(sf_dir: str, nbest: int = 3, replicas: int = 1, concurre
 
 
 def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = True,
-                diversify: bool = False, entity_mix: int = 0):
+                diversify: bool = False, entity_mix: int = 0,
+                batch_size: int = DEFAULT_BATCH_SIZE):
     """(nodes_ds, edges_ds) for the corpus — single annotation pass
     (emit='kg' union rows), both aggregations off the shared rows.
 
@@ -94,6 +95,7 @@ def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = T
     from hebrew_ner_ray.kg.canonical import graph_from_kg_rows
 
     kg_rows = annotated(sf_dir, "kg", replicas, concurrency,
+                        batch_size=batch_size,
                         diversify=diversify, entity_mix=entity_mix)
     return graph_from_kg_rows(kg_rows, sort=sort)
 

@@ -252,6 +252,9 @@ class CrfAnnotateBatch:
     per-template outputs.
     """
 
+    CACHE_MAX = 200_000  # bound per-actor memory on distinct-text corpora
+    # (same reason as AnnotateBatch.LIB_ROW_LIMIT: the actor is long-lived)
+
     def __init__(self, nbest: int | None = None):
         from hebrew_ner_ray.ner.crf import CRFModel
 
@@ -282,6 +285,8 @@ class CrfAnnotateBatch:
         import pandas as pd
 
         codes, uniques = pd.factorize(pd.array(texts), use_na_sentinel=False)
+        if len(self._cache) > self.CACHE_MAX:
+            self._cache.clear()
         fresh = [t for t in uniques if t not in self._cache]
         if fresh:
             self._decode_fresh(fresh)

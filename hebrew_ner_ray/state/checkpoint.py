@@ -36,14 +36,25 @@ def _manifest_path(out_dir: str) -> str:
 
 
 def completed_partitions(out_dir: str) -> set[int]:
+    """Partitions with a fully-written manifest line.
+
+    A torn/partial trailing line (crash between ``write`` and ``fsync``)
+    is SKIPPED, not fatal: the data rename happens before the manifest
+    append, so an uncommitted partition simply reruns and overwrites —
+    a brittle read path here would permanently brick resume, defeating
+    the durability the write path pays for."""
     path = _manifest_path(out_dir)
     done: set[int] = set()
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
-                if line:
+                if not line:
+                    continue
+                try:
                     done.add(json.loads(line)["partition"])
+                except (json.JSONDecodeError, KeyError):
+                    continue  # torn tail — rerun that partition
     return done
 
 

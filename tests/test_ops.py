@@ -8,14 +8,18 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_shingles_and_minhash_deterministic():
+    from hebrew_ner_ray.kg.ids import stable_id
     from hebrew_ner_ray.ops.dedup import MINHASH_K, minhash_signature, shingles
 
     sh = shingles("a b c d")
     assert sh == {"a b c", "b c d"}
     assert shingles("a b") == {"a b"}
-    sig = minhash_signature(sh)
+    # production contract: signatures over the int64 shingle-ID set
+    ids = {stable_id(s) for s in sh}
+    sig = minhash_signature(ids)
     assert len(sig) == MINHASH_K
-    assert sig == minhash_signature(shingles("a b c d"))  # deterministic
+    assert sig == minhash_signature({stable_id(s) for s in shingles("a b c d")})
+    assert minhash_signature(set()) == [0] * MINHASH_K
 
 
 def test_simhash_similar_texts_close():
