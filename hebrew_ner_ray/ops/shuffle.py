@@ -126,14 +126,18 @@ def grouped_exchange(
     if not _hash_strategy_active():
         return ds.groupby(keys).map_groups(group_fn, batch_format="pandas")
     parts = ds.repartition(n_partitions, keys=keys)
+    return parts.map_batches(_group_loop(keys, group_fn),
+                             batch_format="pandas", batch_size=None)
 
+
+def _group_loop(keys, group_fn):
     def run(b: pd.DataFrame) -> pd.DataFrame:
         if b.empty:
             return group_fn(b)
         frames = [group_fn(g) for _, g in b.groupby(keys, sort=False)]
         return pd.concat(frames, ignore_index=True)
 
-    return parts.map_batches(run, batch_format="pandas", batch_size=None)
+    return run
 
 
 def keyed_aggregate(partials, key_cols: Sequence[str],
@@ -151,6 +155,18 @@ def keyed_aggregate(partials, key_cols: Sequence[str],
     if count is not None and count <= small_limit:
         return small_key_aggregate(partials, agg)
     return bucketed_aggregate(partials, key_cols, agg, coalesce=coalesce or 16)
+
+
+def sized_aggregate(partials, key_cols: Sequence[str],
+                    agg: Callable[[pd.DataFrame], pd.DataFrame],
+                    coalesce: int | None = None,
+                    small_limit: int = SMALL_AGG_ROWS):
+    """``keyed_aggregate`` for callers whose partial set is cheap to
+    materialize (combiners already shrank it): materialize once, count for
+    free, dispatch. Small partial sets skip the exchange entirely (no
+    aggregator spin-up); large ones hash-partition as usual."""
+    m = partials.materialize()
+    return keyed_aggregate(m, key_cols, agg, coalesce=coalesce, count=m.count())
 
 
 def small_key_aggregate(partials, agg: Callable[[pd.DataFrame], pd.DataFrame]):

@@ -68,29 +68,9 @@ def events_tumbling(sf_dir: str):
         )
         return out.astype(_TUMBLE_COLS)
 
-    return bucketed_aggregate(partials, ["user_id", "window_us"], reduce, coalesce=32)
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate
 
-
-def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
-    if g.empty:
-        from hebrew_ner_ray.ops.shuffle import typed_empty
-
-        return typed_empty(_SESSION_COLS)
-    g = g.sort_values("ts")
-    us = _epoch_us(g["ts"]).to_numpy()
-    brk = np.ones(len(g), dtype=np.int64)
-    brk[1:] = (np.diff(us) > SESSION_GAP_US).astype(np.int64)
-    sid = np.cumsum(brk)
-    out = (
-        pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid,
-                      "us": us, "value_micro": _micro(g["value"])})
-        .groupby(["user_id", "session_id"], as_index=False)
-        .agg(n_events=("value_micro", "size"), start_us=("us", "min"),
-             end_us=("us", "max"), total_value_micro=("value_micro", "sum"))
-    )
-    for c in ("session_id", "n_events", "start_us", "end_us", "total_value_micro"):
-        out[c] = out[c].astype("int64")
-    return out
+    return sized_aggregate(partials, ["user_id", "window_us"], reduce, coalesce=32)
 
 
 _SPART_COLS = {"user_id": "int64", "start_us": "int64", "end_us": "int64",
@@ -129,22 +109,20 @@ def _session_partials(batch: pd.DataFrame) -> pd.DataFrame:
     return g.astype(_SPART_COLS)[list(_SPART_COLS)]
 
 
-def _merge_user_sessions(g: pd.DataFrame) -> pd.DataFrame:
-    """One user's partial sessions → final session rows (interval merge on
-    end→start gap ≤ G), numbered by start time like the reference shape."""
-    g = g.sort_values("start_us", kind="stable")
-    starts = g["start_us"].to_numpy()
-    ends = g["end_us"].to_numpy()
-    brk = np.ones(len(g), dtype=np.int64)
-    # merge when this partial starts within GAP of the running max end
-    run_end = np.maximum.accumulate(ends)
-    brk[1:] = (starts[1:] - run_end[:-1] > SESSION_GAP_US).astype(np.int64)
-    sid = np.cumsum(brk)
+def _merge_session_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Partial sessions (any number of users, each user complete) → final
+    session rows: interval merge on end→start gap ≤ G, VECTORIZED across
+    users with groupby cummax/shift (no per-user python loop — the
+    single-task small path depends on this). Per-user session_id numbers
+    by start time, matching the event-level sessionizer exactly."""
+    g = g.sort_values(["user_id", "start_us"], kind="stable").reset_index(drop=True)
+    cummax_end = g.groupby("user_id")["end_us"].cummax()
+    prev_end = cummax_end.groupby(g["user_id"]).shift(1)
+    new_session = prev_end.isna() | (g["start_us"] - prev_end > SESSION_GAP_US)
+    sid_global = new_session.cumsum()
+    session_id = sid_global - sid_global.groupby(g["user_id"]).transform("min") + 1
     out = (
-        pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid,
-                      "start_us": starts, "end_us": ends,
-                      "n_events": g["n_events"].to_numpy(),
-                      "total_value_micro": g["total_value_micro"].to_numpy()})
+        g.assign(session_id=session_id)
         .groupby(["user_id", "session_id"], as_index=False)
         .agg(n_events=("n_events", "sum"), start_us=("start_us", "min"),
              end_us=("end_us", "max"), total_value_micro=("total_value_micro", "sum"))
@@ -166,9 +144,11 @@ def events_sessions(sf_dir: str):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return typed_empty(_SESSION_COLS)
-        return _merge_user_sessions(g)
+        return _merge_session_partials(g)
 
-    return grouped_exchange(partials, ["user_id"], merge)
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate
+
+    return sized_aggregate(partials, ["user_id"], merge)
 
 
 def events_top_users(sf_dir: str, k: int = 20):
@@ -194,6 +174,8 @@ def events_top_users(sf_dir: str, k: int = 20):
         )
         return out[list(_TOP_COLS)].astype(_TOP_COLS)
 
-    agg = bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
-                             ["user_id"], reduce, coalesce=32)
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate
+
+    agg = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                          ["user_id"], reduce, coalesce=32)
     return agg.sort(["total_value_micro", "user_id"], descending=[True, False]).limit(k)

@@ -102,15 +102,19 @@ def test_tumbling_window_arithmetic():
 
 
 def test_sessionize_gap_boundary():
-    from hebrew_ner_ray.ops.windows import _sessionize_group
+    from hebrew_ner_ray.ops.windows import _merge_session_partials, _session_partials
 
     ts = pd.to_datetime(
         ["2024-01-01 10:00:00", "2024-01-01 10:29:00", "2024-01-01 11:00:01"]
     )
     g = pd.DataFrame({"ts": ts, "user_id": [7, 7, 7], "value": [1.0, 1.0, 1.0]})
-    out = _sessionize_group(g)
+    out = _merge_session_partials(_session_partials(g))
     assert out["session_id"].tolist() == [1, 2]  # 31m01s gap opens session 2
     assert out["n_events"].tolist() == [2, 1]
+    # split across partial batches: same result (interval-merge exactness)
+    parts = pd.concat([_session_partials(g.iloc[[0, 2]]), _session_partials(g.iloc[[1]])])
+    out2 = _merge_session_partials(parts)
+    assert out2.equals(out)
 
 
 def test_word_embedder_stage(ray_session):
