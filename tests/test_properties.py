@@ -107,3 +107,41 @@ def test_sentence_lattice_every_token_has_path(tokens):
         assert paths, "every token lattice must have >=1 path"
         # the no-split path always exists
         assert [src, dst] in paths
+
+
+# --- distributed sessionization: partition-invariance property ---
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4),                    # user
+                  st.integers(0, 10**7),                # seconds offset
+                  st.integers(-1000, 1000)),            # value milli-ish
+        min_size=1, max_size=60,
+    ),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_session_merge_partition_invariant(events, data):
+    """1-D single-linkage associativity: sessionizing arbitrary batch
+    partitions then interval-merging equals sessionizing everything at
+    once — the exactness claim ops/windows.py's combiner rests on."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.windows import _merge_session_partials, _session_partials
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([e[1] for e in events], unit="s"),
+            "user_id": [e[0] for e in events],
+            "value": [e[2] / 7.0 for e in events],
+        }
+    )
+    direct = _merge_session_partials(_session_partials(df)).reset_index(drop=True)
+    # random partition into 1..4 batches
+    labels = [data.draw(st.integers(0, 3)) for _ in range(len(df))]
+    parts = [
+        _session_partials(df[[l == k for l in labels]])
+        for k in range(4)
+    ]
+    merged = _merge_session_partials(pd.concat(parts, ignore_index=True)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(direct, merged)
