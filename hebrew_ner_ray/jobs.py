@@ -71,6 +71,24 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.pipeline == "kg_resumable" and not args.out_dir:
         parser.error("--pipeline kg_resumable requires --out-dir (checkpoint root)")
+    # reject flags the selected pipeline would silently ignore — an
+    # operator believing an 8-replica run happened when it didn't is worse
+    # than an up-front error
+    applicable = {
+        "ner": {"emit", "replicas"},
+        "crf": {"replicas"},
+        "kg": {"replicas", "out_dir"},
+        "kg_resumable": {"replicas", "out_dir", "n_partitions"},
+        "curation": set(),
+        "eval_vs_gold": set(),
+    }[args.pipeline]
+    given = {name for name, default in
+             [("emit", None), ("out_dir", None), ("n_partitions", None), ("replicas", 1)]
+             if getattr(args, name) != default}
+    extra = given - applicable
+    if extra:
+        parser.error(f"--{'/--'.join(sorted(extra))} not applicable to "
+                     f"--pipeline {args.pipeline}")
 
     import ray
 

@@ -112,8 +112,12 @@ class CRFModel:
                 + self.W_pre[stable_id(f"p|{word[:2]}") % HASH_DIM]
                 + self.W_suf[stable_id(f"s|{word[-2:]}") % HASH_DIM]
             )
-            if len(self._emis_cache) < self.EMIS_CACHE_MAX:
-                self._emis_cache[word] = e
+            if len(self._emis_cache) >= self.EMIS_CACHE_MAX:
+                # clear-on-full (same policy as CrfAnnotateBatch): keeps
+                # amortization for the CURRENT working set instead of
+                # permanently pinning the first-seen vocabulary
+                self._emis_cache.clear()
+            self._emis_cache[word] = e
         return e
 
     def emissions(self, tokens: Sequence[str]) -> np.ndarray:
@@ -124,7 +128,7 @@ class CRFModel:
         if n == 0:  # empty sentence: (0, N_TAGS) — callers slice to []
             return out
         out[:, :N_LABELS] = [self._word_emission(w) for w in tokens]
-        if self.tagger is not None and n:
+        if self.tagger is not None:
             from hebrew_ner_ray.ner.tagger import token_single_labels
 
             idx = {lab: k for k, lab in enumerate(LABELS)}

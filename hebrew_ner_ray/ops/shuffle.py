@@ -166,7 +166,8 @@ def sized_aggregate(partials, key_cols: Sequence[str],
     free, dispatch. Small partial sets skip the exchange entirely (no
     aggregator spin-up); large ones hash-partition as usual."""
     m = partials.materialize()
-    return keyed_aggregate(m, key_cols, agg, coalesce=coalesce, count=m.count())
+    return keyed_aggregate(m, key_cols, agg, coalesce=coalesce, count=m.count(),
+                           small_limit=small_limit)
 
 
 def small_key_aggregate(partials, agg: Callable[[pd.DataFrame], pd.DataFrame]):

@@ -55,7 +55,7 @@ def events_tumbling(sf_dir: str):
     high-cardinality at scale, so the reduce is a bucketed aggregate."""
     import ray.data
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     partials = ds.map_batches(tumbling_partials, batch_format="pandas")
@@ -67,8 +67,6 @@ def events_tumbling(sf_dir: str):
             n_events=("n_events", "sum"), total_value_micro=("total_value_micro", "sum")
         )
         return out.astype(_TUMBLE_COLS)
-
-    from hebrew_ner_ray.ops.shuffle import sized_aggregate
 
     return sized_aggregate(partials, ["user_id", "window_us"], reduce, coalesce=32)
 
@@ -136,7 +134,7 @@ def events_sessions(sf_dir: str):
     the raw events) merged per user."""
     import ray.data
 
-    from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     partials = ds.map_batches(_session_partials, batch_format="pandas")
@@ -145,8 +143,6 @@ def events_sessions(sf_dir: str):
         if g.empty:
             return typed_empty(_SESSION_COLS)
         return _merge_session_partials(g)
-
-    from hebrew_ner_ray.ops.shuffle import sized_aggregate
 
     return sized_aggregate(partials, ["user_id"], merge)
 
@@ -164,7 +160,7 @@ def events_top_users(sf_dir: str, k: int = 20):
             .agg(total_value_micro=("value_micro", "sum"), n_events=("value_micro", "size"))
         )
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
+    from hebrew_ner_ray.ops.shuffle import typed_empty
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:

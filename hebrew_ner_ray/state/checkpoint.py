@@ -35,8 +35,14 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
 
 
-def completed_partitions(out_dir: str) -> set[int]:
-    """Partitions with a fully-written manifest line.
+def completed_partitions(out_dir: str, version: str | None = None,
+                         lineage: dict | None = None) -> set[int]:
+    """Partitions with a fully-written manifest line MATCHING the current
+    run's ``version`` and ``lineage`` (when given): a line committed under
+    different inputs/parameters does NOT count as done, so changing the
+    corpus, replicas, or bumping version forces those partitions to
+    rebuild (and atomically overwrite) instead of silently reusing stale
+    data.
 
     A torn/partial trailing line (crash between ``write`` and ``fsync``)
     is SKIPPED, not fatal: the data rename happens before the manifest
@@ -52,7 +58,12 @@ def completed_partitions(out_dir: str) -> set[int]:
                 if not line:
                     continue
                 try:
-                    done.add(json.loads(line)["partition"])
+                    rec = json.loads(line)
+                    if version is not None and rec.get("version") != version:
+                        continue
+                    if lineage is not None and rec.get("lineage") != lineage:
+                        continue
+                    done.add(rec["partition"])
                 except (json.JSONDecodeError, KeyError):
                     continue  # torn tail — rerun that partition
     return done
@@ -91,7 +102,7 @@ def run_partitioned(
     ``version`` (or delete the manifest) to force a rebuild.
     """
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir)
+    done = completed_partitions(out_dir, version=version, lineage=lineage)
     ran: List[int] = []
     for k in partitions:
         if k in done:
