@@ -50,9 +50,15 @@ def finalize(totals: dict) -> pd.DataFrame:
 
 
 def evaluate_datasets(partials_ds) -> pd.DataFrame:
-    """Sum a dataset of per-sentence partial-count rows and finalize."""
+    """Sum a dataset of per-sentence partial-count rows and finalize.
+
+    The partials are materialized FIRST: ``Dataset.sum`` is an action that
+    re-executes the upstream plan, so five per-column sums over the lazy
+    pipeline would run the whole annotation/join chain five times. The
+    materialized counter rows are tiny (five int64s per sentence)."""
+    m = partials_ds.materialize()
     totals = {
-        c: partials_ds.sum(c)
+        c: m.sum(c)
         for c in ("corr_tok", "n_tok", "n_pred", "n_gold", "n_correct")
     }
     return finalize(totals)

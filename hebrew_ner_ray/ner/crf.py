@@ -241,6 +241,14 @@ class CRFModel:
         for kk in range(b):
             i = int(recover[kk])
             n = int(lens[kk])
+            if n == 0:
+                # canonical empty-sentence result, independent of batch
+                # composition (matches the all-empty shortcut above) — a
+                # zero-token span must not get k garbage-score hypotheses
+                # just because it shared a batch with real sentences
+                scores_out[i] = [1.0]
+                labelings[i] = [[]]
+                continue
             scores_out[i] = [float(round(s, 10)) for s in probs[kk]]
             labelings[i] = [[LABELS[j] for j in paths[kk, h, :n]] for h in range(k)]
         return scores_out, labelings

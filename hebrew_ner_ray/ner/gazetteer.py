@@ -117,7 +117,14 @@ class GazetteerIndex:
     called per sentence inside the batch loop.
     """
 
-    def __init__(self, entries: Sequence[Tuple[Tuple[str, ...], str]] = tuple(GAZETTEER)):
+    def __init__(self, entries: Sequence[Tuple[Tuple[str, ...], str]] = tuple(GAZETTEER),
+                 synthetic_entities: bool = False):
+        # synthetic_entities: recognize פלוני<digits> tokens as S-PER — the
+        # BENCHMARK corpus mode (sources/interleaved.py entity_mix) that
+        # scales entity cardinality with the corpus. OFF by default: פלוני
+        # is a real Hebrew word (legal John Doe), so the rule must never
+        # leak into serving/eval on real text.
+        self.synthetic_entities = synthetic_entities
         self._by_first: Dict[str, List[Tuple[Tuple[str, ...], str]]] = {}
         for cores, cat in entries:
             self._by_first.setdefault(_norm(cores[0]), []).append((cores, cat))
@@ -130,11 +137,10 @@ class GazetteerIndex:
         i = 0
         n = len(tokens)
         while i < n:
-            # synthetic-entity rule: פלוני<digits> tokens are unbounded-
-            # cardinality PER entities (the benchmark's mixed corpus emits
-            # them so canonicalization aggregates over corpus-scaled keys
-            # instead of the 19 fixture entities; never fires on real text)
-            if _SYNTH.match(tokens[i]):
+            # synthetic-entity rule (opt-in, see __init__): פלוני<digits>
+            # tokens are unbounded-cardinality PER entities for the mixed
+            # benchmark corpus
+            if self.synthetic_entities and _SYNTH.match(tokens[i]):
                 matches.append(Match(lo=i, hi=i, cat="PER",
                                      cores=(tokens[i],), prefixes=((),)))
                 i += 1

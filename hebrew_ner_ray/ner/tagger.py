@@ -123,8 +123,9 @@ class SentenceTagger:
     This is the object a Ray actor holds; one instance per map_batches actor.
     """
 
-    def __init__(self, index: GazetteerIndex | None = None):
-        self.index = index or GazetteerIndex()
+    def __init__(self, index: GazetteerIndex | None = None,
+                 synthetic_entities: bool = False):
+        self.index = index or GazetteerIndex(synthetic_entities=synthetic_entities)
 
     def match(self, tokens: Sequence[str]) -> List[Match]:
         return self.index.match(tokens)

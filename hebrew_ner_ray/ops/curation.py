@@ -45,6 +45,8 @@ def curated_docs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    from hebrew_ner_ray.ops.shuffle import typed_empty
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         """Quality fields + content hash, combined batch-locally: only the
         min-doc row per hash can ever be the global canonical."""
@@ -60,13 +62,13 @@ def curated_docs(sf_dir: str):
         filters. Loser set read from the object store (zero re-ship: the
         ref travels in the closure, the set lives in plasma once)."""
         if g.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _CURATE_COLS.items()})
+            return typed_empty(_CURATE_COLS)
         near_losers = ray.get(losers_ref)
         g = g.sort_values("doc_id", kind="stable").drop_duplicates("text_hash")
         keep = (g["quality_ok"] == 1) & ~g["doc_id"].isin(near_losers)
         out = g.loc[keep, ["doc_id", "n_tokens"]].astype("int64")
         if out.empty:  # schema-stable empty block
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _CURATE_COLS.items()})
+            return typed_empty(_CURATE_COLS)
         return out
 
     return bucketed_aggregate(partials, ["text_hash"], finish, coalesce=32)

@@ -45,7 +45,9 @@ def annotated(sf_dir: str, emit: str, replicas: int = 1, concurrency=None,
                        entity_mix=entity_mix)
     return spans.map_batches(
         AnnotateBatch,
-        fn_constructor_kwargs={"emit": emit},
+        # the synthetic-entity rule follows the corpus mode that emits the
+        # tokens it matches — never enabled on the plain corpus
+        fn_constructor_kwargs={"emit": emit, "synthetic_entities": entity_mix > 0},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or default_concurrency(),

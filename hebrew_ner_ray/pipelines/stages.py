@@ -45,10 +45,12 @@ class AnnotateBatch:
     batches.
     """
 
-    def __init__(self, emit: str = "single"):
+    def __init__(self, emit: str = "single", synthetic_entities: bool = False):
         assert emit in EMIT_MODES, emit
         self.emit = emit
-        self.tagger = SentenceTagger()
+        # synthetic_entities: benchmark-corpus mode only (entity_mix) — the
+        # פלוני<digits> rule must not reach real-text serving/eval paths
+        self.tagger = SentenceTagger(synthetic_entities=synthetic_entities)
         self.index = self.tagger.index
         self._cache: dict[str, tuple[int, int]] = {}
         self._lib_parts: List[pa.Table] = []

@@ -50,7 +50,7 @@ def completed_partitions(out_dir: str, version: str | None = None,
     a brittle read path here would permanently brick resume, defeating
     the durability the write path pays for."""
     path = _manifest_path(out_dir)
-    done: set[int] = set()
+    last: dict[int, dict] = {}
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             for line in f:
@@ -59,13 +59,18 @@ def completed_partitions(out_dir: str, version: str | None = None,
                     continue
                 try:
                     rec = json.loads(line)
-                    if version is not None and rec.get("version") != version:
-                        continue
-                    if lineage is not None and rec.get("lineage") != lineage:
-                        continue
-                    done.add(rec["partition"])
+                    last[rec["partition"]] = rec  # LAST commit wins: the
+                    # on-disk data is whatever the most recent rebuild
+                    # wrote, so only the newest line may vouch for it
                 except (json.JSONDecodeError, KeyError):
                     continue  # torn tail — rerun that partition
+    done: set[int] = set()
+    for k, rec in last.items():
+        if version is not None and rec.get("version") != version:
+            continue
+        if lineage is not None and rec.get("lineage", {}) != lineage:
+            continue
+        done.add(k)
     return done
 
 
@@ -141,7 +146,7 @@ def run_partitioned(
             "version": version,
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
-        if lineage:
+        if lineage is not None:
             record["lineage"] = lineage
         _commit(out_dir, record)
         ran.append(k)
