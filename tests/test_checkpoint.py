@@ -56,3 +56,36 @@ def test_crashed_tmp_dir_is_ignored(ray_session, tmp_path):
     assert ran == [0]
     assert os.path.isdir(os.path.join(out, "part=0"))
     assert not os.path.exists(os.path.join(out, "_tmp-0"))
+
+
+def test_lineage_aba_rebuilds(ray_session, tmp_path):
+    """A→B→A lineage cycle: the stale A line must NOT vouch for data last
+    written under B — last manifest line per partition wins."""
+    import ray.data
+
+    from hebrew_ner_ray.state.checkpoint import run_partitioned
+
+    d = str(tmp_path / "aba")
+
+    def build(k):
+        return ray.data.range(3)
+
+    a, b = {"input": "A"}, {"input": "B"}
+    assert run_partitioned(d, [0], build, lineage=a) == [0]
+    assert run_partitioned(d, [0], build, lineage=b) == [0]
+    assert run_partitioned(d, [0], build, lineage=a) == [0]  # rebuild, not reuse
+    assert run_partitioned(d, [0], build, lineage=a) == []   # now current
+
+
+def test_lineage_empty_dict_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from hebrew_ner_ray.state.checkpoint import run_partitioned
+
+    d = str(tmp_path / "empty")
+
+    def build(k):
+        return ray.data.range(3)
+
+    assert run_partitioned(d, [0], build, lineage={}) == [0]
+    assert run_partitioned(d, [0], build, lineage={}) == []  # skip, not rerun

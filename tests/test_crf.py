@@ -161,3 +161,12 @@ def test_crf_stage_matches_direct(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_nbest_empty_sentence_batch_independent(model):
+    """A zero-token sentence gets the canonical ([1.0], [[]]) nbest result
+    regardless of batch composition."""
+    solo = model.decode_nbest([[]], 3)
+    mixed = model.decode_nbest([["שלום"], []], 3)
+    assert solo[0][0] == [1.0] and solo[1][0] == [[]]
+    assert mixed[0][1] == solo[0][0] and mixed[1][1] == solo[1][0]
