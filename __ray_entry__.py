@@ -70,6 +70,19 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_datasets(annotated(sf_dir, "eval"))
 
+    def ner_token_bio(sf_dir: str):
+        """M12 converter surface: BIOSE → BIO, vectorized per label
+        (S-→B-, E-→I- are context-free; labels/algebra.py:153)."""
+        import pyarrow.compute as pc
+
+        def convert(b):
+            lab = b.column("label")
+            lab = pc.replace_substring_regex(lab, r"^S-", "B-")
+            lab = pc.replace_substring_regex(lab, r"^E-", "I-")
+            return b.set_column(b.schema.get_field_index("label"), "label", lab)
+
+        return annotated(sf_dir, "single").map_batches(convert, batch_format="pyarrow")
+
     def ner_crf(sf_dir: str):
         from hebrew_ner_ray.pipelines.kg import annotated_crf
 
@@ -86,6 +99,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return ev(sf_dir)
 
     return {
+        "ner_token_bio": ner_token_bio,
         "ner_crf": ner_crf,
         "ner_crf_nbest": ner_crf_nbest,
         "eval_vs_gold": eval_vs_gold,
@@ -117,6 +131,7 @@ def _kg_oracles() -> dict[str, str]:
         "ner_token_multi": o.sql_token_labels("multi"),
         "ner_morph": o.sql_morph(),
         "ner_hybrid": o.sql_token_labels("hybrid"),
+        "ner_token_bio": o.sql_token_labels("bio"),
         "ner_crf": o.sql_token_labels("crf"),
         "ner_crf_nbest": o.sql_crf_nbest(),
         "eval_vs_gold": o.sql_eval_vs_gold(),

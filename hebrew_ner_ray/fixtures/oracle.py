@@ -90,6 +90,15 @@ WHERE a.is_text
 
 
 def _label_rows(key: str):
+    if key == "bio":
+        # M12 converter gold: BIOSE single labels converted per label
+        from hebrew_ner_ray.labels.algebra import bioes_to_bio
+
+        rows = []
+        for t, a in enumerate(template_artifacts()):
+            for w, (word, lab) in enumerate(zip(a["tokens"], bioes_to_bio(a["single"]))):
+                rows.append((t, w, word, lab))
+        return rows
     rows = []
     for t, a in enumerate(template_artifacts()):
         for w, (word, lab) in enumerate(zip(a["tokens"], a[key])):
@@ -98,8 +107,9 @@ def _label_rows(key: str):
 
 
 def sql_token_labels(key: str) -> str:
-    """key in {'single','multi'} (and 'hybrid' — identical to single by the
-    reference's own invariant, verified per-template in tests)."""
+    """key in {'single','multi','crf','bio'} (and 'hybrid' — identical to
+    single by the reference's own invariant, verified per-template in
+    tests)."""
     rows = _label_rows("single" if key == "hybrid" else key)
     return f"""WITH {CORPUS_CTE},
 {_gold_cte('gold', 't, word_idx, word, label', rows)}
