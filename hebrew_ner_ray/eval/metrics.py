@@ -56,11 +56,10 @@ def evaluate_datasets(partials_ds) -> pd.DataFrame:
     re-executes the upstream plan, so five per-column sums over the lazy
     pipeline would run the whole annotation/join chain five times. The
     materialized counter rows are tiny (five int64s per sentence)."""
+    cols = ("corr_tok", "n_tok", "n_pred", "n_gold", "n_correct")
     m = partials_ds.materialize()
-    totals = {
-        c: m.sum(c)
-        for c in ("corr_tok", "n_tok", "n_pred", "n_gold", "n_correct")
-    }
+    sums = m.sum(on=list(cols))  # ONE action for all five totals
+    totals = {c: sums[f"sum({c})"] for c in cols}
     return finalize(totals)
 
 

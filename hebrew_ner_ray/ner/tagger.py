@@ -125,6 +125,9 @@ class SentenceTagger:
 
     def __init__(self, index: GazetteerIndex | None = None,
                  synthetic_entities: bool = False):
+        if index is not None and synthetic_entities:
+            raise ValueError("pass synthetic_entities on the GazetteerIndex "
+                             "itself when supplying an explicit index")
         self.index = index or GazetteerIndex(synthetic_entities=synthetic_entities)
 
     def match(self, tokens: Sequence[str]) -> List[Match]:

@@ -66,6 +66,8 @@ def completed_partitions(out_dir: str, version: str | None = None,
                     continue  # torn tail — rerun that partition
     done: set[int] = set()
     for k, rec in last.items():
+        if rec.get("invalidated"):
+            continue  # tombstone: data was (or was about to be) destroyed
         if version is not None and rec.get("version") != version:
             continue
         if lineage is not None and rec.get("lineage", {}) != lineage:
@@ -114,6 +116,14 @@ def run_partitioned(
             continue
         final = os.path.join(out_dir, f"part={k}")
         tmp = os.path.join(out_dir, f"_tmp-{k}")
+        if os.path.exists(final):
+            # tombstone BEFORE destroying previously-committed data: if we
+            # crash anywhere in the rebuild (after rmtree, mid-write, after
+            # rename but before the new commit line — even if that line is
+            # torn), the invalidation is the last intact manifest line for
+            # this partition and no stale line can vouch for it
+            _commit(out_dir, {"partition": k, "invalidated": True,
+                              "ts": time.strftime("%Y-%m-%dT%H:%M:%S")})
         for d in (tmp, final):
             if os.path.exists(d):
                 shutil.rmtree(d)
