@@ -7,9 +7,11 @@ Scale shape (the 100-TB contract):
   distinct text (batch-local min-doc combiner), the bucketed reduce picks
   the global min, and the quality decision rides along on the surviving
   row. Nothing of corpus cardinality ever leaves the cluster.
-- Only the near-dup LOSER set is broadcast (docs appearing in a jaccard
-  cluster under a different head) — bounded by the number of near-dup
-  pairs, which LSH/threshold pruning keeps tiny relative to the corpus.
+- The near-dup LOSER set is SIZE-AWARE (VERDICT r2 #3): counted first;
+  broadcast via ray.put when ≤ ``broadcast_loser_limit`` (zero extra
+  exchange), otherwise removed with a bucketed anti-join on doc_id — a
+  template-heavy web corpus that puts a large fraction of docs in
+  near-dup clusters can never OOM a worker through the broadcast set.
 """
 
 from __future__ import annotations
@@ -18,8 +20,11 @@ import pandas as pd
 
 _CURATE_COLS = {"doc_id": "int64", "n_tokens": "int64"}
 
+# losers above this count skip the plasma broadcast and anti-join instead
+BROADCAST_LOSER_LIMIT = 2_000_000
 
-def curated_docs(sf_dir: str):
+
+def curated_docs(sf_dir: str, broadcast_loser_limit: int = BROADCAST_LOSER_LIMIT):
     """(doc_id, n_tokens) of documents that survive curation:
 
     - canonical representative of their exact-text group (min doc_id over
@@ -33,19 +38,29 @@ def curated_docs(sf_dir: str):
     import ray.data
 
     from hebrew_ner_ray.ops.dedup import dedup_clusters
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
     from hebrew_ner_ray.ops.textstats import quality_batch
 
-    # near-dup losers: genuinely small (only docs in >=1 near-dup pair)
-    clusters = dedup_clusters(sf_dir).to_pandas()
-    near_losers = set(
-        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].astype(int)
+    # near-dup losers: docs in >=1 near-dup pair under another head
+    losers = (
+        dedup_clusters(sf_dir)
+        .map_batches(
+            lambda b: (
+                b.loc[b["doc_id"] != b["cluster_id"], ["doc_id"]].astype("int64")
+                if not b.empty else typed_empty({"doc_id": "int64"})
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
     )
-    losers_ref = ray.put(near_losers)
+    n_losers = losers.count()
+    losers_ref = (
+        ray.put(set(losers.to_pandas()["doc_id"].astype(int)))
+        if n_losers <= broadcast_loser_limit
+        else None
+    )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    from hebrew_ner_ray.ops.shuffle import typed_empty
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         """Quality fields + content hash, combined batch-locally: only the
@@ -58,17 +73,48 @@ def curated_docs(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        """Per-bucket: global canonical per hash, then quality + near-dup
-        filters. Loser set read from the object store (zero re-ship: the
-        ref travels in the closure, the set lives in plasma once)."""
+        """Per-bucket: global canonical per hash, then the quality filter
+        (and, on the broadcast arm, the near-dup filter — the ref travels
+        in the closure, the set lives in plasma once)."""
         if g.empty:
             return typed_empty(_CURATE_COLS)
-        near_losers = ray.get(losers_ref)
         g = g.sort_values("doc_id", kind="stable").drop_duplicates("text_hash")
-        keep = (g["quality_ok"] == 1) & ~g["doc_id"].isin(near_losers)
+        keep = g["quality_ok"] == 1
+        if losers_ref is not None:
+            keep &= ~g["doc_id"].isin(ray.get(losers_ref))
         out = g.loc[keep, ["doc_id", "n_tokens"]].astype("int64")
         if out.empty:  # schema-stable empty block
             return typed_empty(_CURATE_COLS)
         return out
 
-    return bucketed_aggregate(partials, ["text_hash"], finish, coalesce=32)
+    from hebrew_ner_ray.ops.shuffle import partitions_for
+
+    candidates = bucketed_aggregate(partials, ["text_hash"], finish,
+                                    coalesce=partitions_for())
+    if losers_ref is not None:
+        return candidates
+
+    # anti-join arm: candidates ∪ losers keyed on doc_id, one exchange;
+    # a candidate survives iff no loser row shares its doc_id
+    tagged_c = candidates.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                                "n_tokens": b["n_tokens"].astype("Int64")}),
+        batch_format="pandas",
+    )
+    tagged_l = losers.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                                "n_tokens": pd.array([None] * len(b), dtype="Int64")}),
+        batch_format="pandas",
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CURATE_COLS)
+        loser_ids = g.loc[g["n_tokens"].isna(), "doc_id"]
+        cand = g[g["n_tokens"].notna() & ~g["doc_id"].isin(loser_ids)]
+        if cand.empty:
+            return typed_empty(_CURATE_COLS)
+        return cand[["doc_id", "n_tokens"]].astype("int64")
+
+    return bucketed_aggregate(tagged_c.union(tagged_l), ["doc_id"], anti,
+                              coalesce=partitions_for())

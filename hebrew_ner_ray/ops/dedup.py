@@ -247,6 +247,13 @@ def dedup_minhash(sf_dir: str):
 DRIVER_PAIR_LIMIT = 2_000_000
 
 
+def _project_ab(b: pd.DataFrame) -> pd.DataFrame:
+    """Schema-stable (a, b) projection — select_columns leaves mixed
+    bundle schemas behind when upstream emits typed empties (observed
+    RefBundle drift warnings)."""
+    return pd.DataFrame({"a": b["a"].astype("int64"), "b": b["b"].astype("int64")})
+
+
 def dedup_clusters(sf_dir: str, threshold: float = 0.5,
                    driver_pair_limit: int = DRIVER_PAIR_LIMIT):
     """Cluster assignment for near-duplicate documents: connected
@@ -264,7 +271,8 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5,
     """
     import ray.data
 
-    pairs = dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"]).materialize()
+    pairs = dedup_jaccard(sf_dir, threshold).map_batches(
+        _project_ab, batch_format="pandas").materialize()
     if pairs.count() > driver_pair_limit:
         return _clusters_label_propagation(pairs)
 
@@ -289,19 +297,27 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5,
     return ray.data.from_pandas(out)
 
 
-def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5, max_rounds: int = 8):
+def dedup_clusters_distributed(sf_dir: str, threshold: float = 0.5,
+                               max_rounds: int = 64):
     """Distributed connected components over the jaccard-pair graph (the
     large-pair-set arm of ``dedup_clusters``'s dispatch)."""
     return _clusters_label_propagation(
-        dedup_jaccard(sf_dir, threshold).select_columns(["a", "b"]), max_rounds
+        dedup_jaccard(sf_dir, threshold).map_batches(
+            _project_ab, batch_format="pandas"), max_rounds
     )
 
 
-def _clusters_label_propagation(pairs, max_rounds: int = 8):
-    """Connected components via iterative min-label propagation — each
-    round one bucketed hash join (label→peer) + one bucketed min-
-    aggregate; convergence detected with a cheap sum (labels only ever
-    decrease). Use when the pair graph is too large to collect."""
+def _clusters_label_propagation(pairs, max_rounds: int = 64):
+    """Connected components via min-label propagation WITH pointer
+    doubling — each round (a) every edge carries its endpoint's label one
+    hop, (b) every label chases its own label (lbl ← lbl[lbl]), so the
+    hop distance covered doubles per round and convergence takes
+    O(log diameter) exchanges, not O(diameter). The loop runs until the
+    sum of labels is a fixed point (labels only ever decrease, so a
+    stable sum IS convergence — no silent cap); ``max_rounds`` is a
+    safety bound far past any reachable diameter (2^64) and RAISES if
+    hit rather than returning wrong cluster ids. Use when the pair graph
+    is too large to collect on the driver."""
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, typed_empty
 
     _LBL_COLS = {"node": "int64", "lbl": "int64"}
@@ -319,7 +335,10 @@ def _clusters_label_propagation(pairs, max_rounds: int = 8):
             }
         )
 
+    from hebrew_ner_ray.ops.shuffle import partitions_for
+
     edges = pairs.map_batches(undirect, batch_format="pandas").materialize()
+    n_parts = partitions_for(edges.count())
 
     labels = bucketed_aggregate(
         edges.map_batches(
@@ -328,41 +347,65 @@ def _clusters_label_propagation(pairs, max_rounds: int = 8):
         ),
         ["node"],
         min_label,
+        coalesce=n_parts,
     ).materialize()
+
+    # one lookup exchange per round serves BOTH moves (a plan with >2
+    # concurrent hash-shuffle operators starves its aggregator pools on
+    # small CPU counts — measured deadlock):
+    #   edge requests  (key=edge.node, req=peer):  emit lbl[node] → peer
+    #   double requests (key=lbl, req=node):       emit lbl[lbl]  → node
+    # Every lbl value is itself a node id present in `labels` (labels
+    # start as node ids and min-merge only keeps node ids), so the inner
+    # merge never drops a request.
+    def lookup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_LBL_COLS)
+        lab = g[g["req"].isna()][["node", "lbl"]]
+        req = g[g["req"].notna()][["node", "req"]]
+        m = req.merge(lab, on="node")
+        return pd.DataFrame({"node": m["req"].astype("int64"),
+                             "lbl": m["lbl"].astype("int64")})
+
+    def _null_col(b: pd.DataFrame) -> pd.api.extensions.ExtensionArray:
+        return pd.array([None] * len(b), dtype="Int64")
 
     prev_sum = labels.sum("lbl")
     for _ in range(max_rounds):
-        # propagate: every edge carries its node's label to the peer —
-        # a bucketed hash join (label ∪ edge rows grouped by node)
-        def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            if g.empty:
-                return typed_empty(_LBL_COLS)
-            lab = g[g["peer"].isna()][["node", "lbl"]]
-            edg = g[g["peer"].notna()][["node", "peer"]]
-            m = edg.merge(lab, on="node")
-            return pd.DataFrame({"node": m["peer"].astype("int64"), "lbl": m["lbl"].astype("int64")})
-
-        tagged_labels = labels.map_batches(
-            lambda b: pd.DataFrame({"node": b["node"], "peer": pd.array([None] * len(b), dtype="Int64"),
+        lookup = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "req": _null_col(b),
                                     "lbl": b["lbl"]}),
             batch_format="pandas",
         )
-        tagged_edges = edges.map_batches(
-            lambda b: pd.DataFrame({"node": b["node"], "peer": b["peer"].astype("Int64"),
-                                    "lbl": pd.array([None] * len(b), dtype="Int64")}),
+        edge_req = edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "req": b["peer"].astype("Int64"),
+                                    "lbl": _null_col(b)}),
             batch_format="pandas",
         )
-        propagated = bucketed_aggregate(
-            tagged_labels.union(tagged_edges), ["node"], join_bucket
+        double_req = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["lbl"].astype("int64"),
+                                    "req": b["node"].astype("Int64"),
+                                    "lbl": _null_col(b)}),
+            batch_format="pandas",
+        )
+        candidates = bucketed_aggregate(
+            lookup.union(edge_req).union(double_req), ["node"], lookup_bucket,
+            coalesce=n_parts,
         )
         merged = bucketed_aggregate(
-            labels.union(propagated), ["node"], min_label
+            labels.union(candidates), ["node"], min_label, coalesce=n_parts
         ).materialize()
         new_sum = merged.sum("lbl")
         labels = merged
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} pointer-doubling "
+            f"rounds — unreachable by design (covers diameter 2^{max_rounds}); "
+            "refusing to return wrong cluster ids"
+        )
 
     return labels.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["node"].astype("int64"),

@@ -81,26 +81,16 @@ def ops_queries():
     }
 
 
-def _sql_clusters(rounds: int = 8) -> str:
-    """Min-label propagation unrolled ``rounds`` times — exact for
-    components of diameter ≤ rounds (the Ray side iterates to convergence;
-    near-dup clusters are tiny by construction)."""
-    steps = []
-    for r in range(1, rounds + 1):
-        prev = f"l{r-1}"
-        steps.append(
-            f"""l{r} AS (
-  SELECT node, min(lbl) AS lbl FROM (
-    SELECT node, lbl FROM {prev}
-    UNION ALL
-    SELECT e.peer AS node, {prev}.lbl FROM e JOIN {prev} ON e.node = {prev}.node
-  ) GROUP BY node
-)"""
-        )
+def _sql_clusters() -> str:
+    """EXACT connected components: recursive transitive closure of the
+    undirected pair graph, then min reachable node id per node. Matches
+    the engine's exact union-find / converged pointer-doubling arms for
+    ANY component diameter (the former 8-round unroll mirrored the
+    engine's old round cap — both sides are now exact)."""
     # AS MATERIALIZED: DuckDB inlines CTEs by default, which would
-    # re-evaluate the whole shingle pipeline once per unrolled round
+    # re-evaluate the whole shingle pipeline inside the recursion
     return f"""
-WITH {_SHINGLES_CTE},
+WITH RECURSIVE {_SHINGLES_CTE},
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 ok_sh AS (SELECT sh_h FROM sh GROUP BY sh_h
           HAVING count(*) BETWEEN 2 AND {HOT_SHINGLE_CAP}),
@@ -115,9 +105,13 @@ pairs AS MATERIALIZED (
   WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 ),
 e AS MATERIALIZED (SELECT a AS node, b AS peer FROM pairs UNION ALL SELECT b, a FROM pairs),
-l0 AS (SELECT DISTINCT node, node AS lbl FROM e),
-{",".join(steps)}
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS cluster_id FROM l{rounds}
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node AS lbl FROM e
+  UNION
+  SELECT e.peer AS node, r.lbl FROM e JOIN reach r ON e.node = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
 """
 
 

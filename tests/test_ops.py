@@ -132,3 +132,63 @@ def test_word_embedder_stage(ray_session):
     assert np.allclose(e1._vector("ישראל"), e2._vector("ישראל"))
     with pytest.raises(NotImplementedError):
         load_real_model("wiki.he.bin")
+
+
+def test_label_propagation_long_chain_matches_union_find(ray_session):
+    """VERDICT r2 #1: the distributed connected-components arm must be
+    exact for components of ANY diameter (the old max_rounds=8 cap
+    silently returned wrong ids past diameter 8). Chain of diameter 40
+    plus a star and a few singleton pairs."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.dedup import _clusters_label_propagation
+
+    chain = [(i, i + 1) for i in range(100, 141)]          # diameter 41
+    star = [(500, x) for x in (501, 502, 503)]
+    pairs = pd.DataFrame(chain + star + [(900, 901)], columns=["a", "b"])
+
+    out = (
+        _clusters_label_propagation(ray.data.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact expectation: every chain node labels to 100, star to 500
+    expect = sorted(
+        [(n, 100) for n in range(100, 142)]
+        + [(n, 500) for n in (500, 501, 502, 503)]
+        + [(900, 900), (901, 900)]
+    )
+    got = list(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expect
+
+
+def test_dedup_clusters_distributed_arm_matches_driver_arm(ray_session):
+    """Force the distributed arm (driver_pair_limit=0) on the real
+    fixture and compare against the exact union-find arm."""
+    from hebrew_ner_ray.ops.dedup import dedup_clusters
+
+    exact = dedup_clusters(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        dedup_clusters(SF, driver_pair_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, dist)
+
+
+def test_curation_antijoin_arm_matches_broadcast_arm(ray_session):
+    """VERDICT r2 #3: loser-set removal must be size-aware. Force the
+    bucketed anti-join arm (broadcast_loser_limit=0) and compare with
+    the broadcast arm on the real fixture."""
+    from hebrew_ner_ray.ops.curation import curated_docs
+
+    bcast = curated_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    anti = (
+        curated_docs(SF, broadcast_loser_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bcast, anti)
