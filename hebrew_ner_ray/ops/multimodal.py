@@ -93,21 +93,30 @@ FEATURE_DIM = 16
 
 
 class MediaFeaturizer:
-    """Feature-extraction stub: hash-seeded pseudo-embedding per media span.
-    Returns a typed fixed-width list column (the real model would too)."""
+    """Feature-extraction stub: md5-derived pseudo-embedding per media
+    span. Component j is an integer micro-unit in [-1e6, 1e6] from
+    stable_id(ref + '#f' + j) — exactly reproducible in SQL, so the
+    squared norm (pure int64 arithmetic, no float summation order) gets a
+    VALUE oracle via :func:`media_feature_norms`. Returns a typed
+    fixed-width list column (the real model would too)."""
 
     def __init__(self, dim: int = FEATURE_DIM):
         self.dim = dim
 
+    def _ints(self, ref: str) -> np.ndarray:
+        return np.array(
+            [stable_id(f"{ref}#f{j}") % 2_000_001 - 1_000_000 for j in range(self.dim)],
+            dtype=np.int64,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        feats = np.stack(
-            [
-                np.random.default_rng(stable_id(r) % 2**32).standard_normal(self.dim)
-                for r in refs
-            ]
-        ).astype(np.float32)
-        norm = np.linalg.norm(feats, axis=1).astype(np.float64).round(6)
+        ints = np.stack([self._ints(r) for r in refs]) if refs else np.zeros(
+            (0, self.dim), dtype=np.int64
+        )
+        feats = (ints / 1_000_000.0).astype(np.float32)
+        norm_sq = (ints * ints).sum(axis=1)
+        norm = np.sqrt(norm_sq / 1e12).round(6)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -116,6 +125,7 @@ class MediaFeaturizer:
                     pa.array(feats.reshape(-1), type=pa.float32()), self.dim
                 ),
                 "feature_norm": pa.array(norm, type=pa.float64()),
+                "norm_sq_micro": pa.array(norm_sq, type=pa.int64()),
             }
         )
 
@@ -124,3 +134,10 @@ def media_features(sf_dir: str):
     return media_spans(sf_dir).map_batches(
         MediaFeaturizer, batch_format="pyarrow", batch_size=512, concurrency=default_concurrency()
     )
+
+
+def media_feature_norms(sf_dir: str):
+    """Hashable companion to ``media_features``: (doc_id, span_ord,
+    norm_sq_micro) — the feature vector's squared norm in integer
+    micro²-units, exact in int64 on both the Ray and SQL sides."""
+    return media_features(sf_dir).select_columns(["doc_id", "span_ord", "norm_sq_micro"])

@@ -9,7 +9,14 @@ from __future__ import annotations
 
 from hebrew_ner_ray.kg.ids import sql_stable_id
 from hebrew_ner_ray.ops.dedup import HOT_SHINGLE_CAP, MINHASH_BAND, MINHASH_K, SIMHASH_BITS
-from hebrew_ner_ray.ops.similarity import N_QUERIES, PAIR_TAU, TOPK
+from hebrew_ner_ray.ops.similarity import (
+    LSH_PLANES,
+    LSH_TABLES,
+    N_PLANES,
+    N_QUERIES,
+    PAIR_TAU,
+    TOPK,
+)
 from hebrew_ner_ray.ops.textstats import STOPWORDS
 from hebrew_ner_ray.ops.windows import SESSION_GAP_US, WINDOW_US
 
@@ -68,8 +75,9 @@ def ops_queries():
         "dedup_clusters": _wrap(dedup.dedup_clusters),
         "sim_ann_topk": _wrap(similarity.ann_topk),
         "sim_embedding_pairs": _wrap(similarity.embedding_pairs),
-        "sim_embedding_pairs_lsh": _wrap(similarity.embedding_pairs_lsh),  # approx → rows-only
-        "sim_ivf_topk": _wrap(similarity.ivf_topk),  # approximate → rows-only
+        "sim_embedding_pairs_lsh": _wrap(similarity.embedding_pairs_lsh),
+        "sim_lsh_recall": _wrap(similarity.lsh_recall),
+        "sim_ivf_topk": _wrap(similarity.ivf_topk),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_sessions": _wrap(windows.events_sessions),
         "events_top_users": _wrap(windows.events_top_users),
@@ -77,8 +85,55 @@ def ops_queries():
         "pricing_summary": _wrap(relational.pricing_summary),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col → rows-only
+        "media_feature_norms": _wrap(multimodal.media_feature_norms),
         "corpus_curation": _curation,
     }
+
+
+def _sql_lsh_buckets(prefix: str, n_tables: int, n_planes: int) -> str:
+    """CTE chain computing per-(vec, table) LSH buckets with the engine's
+    Rademacher planes: sign(t,p,j) = ±1 from stable_id('{prefix}-t-p-j')
+    (similarity._sign_planes). Sign of the raw-embedding projection equals
+    the engine's normalized-projection sign (positive scaling)."""
+    sign_key = (
+        f"'{prefix}-' || CAST(tp.t AS VARCHAR) || '-' || CAST(tp.p AS VARCHAR)"
+        f" || '-' || CAST(d.j AS VARCHAR)"
+    )
+    return f"""
+dims AS (SELECT unnest(range(len(embedding))) AS j
+         FROM (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)),
+tp AS (SELECT t.t, p.p FROM (SELECT unnest(range({n_tables})) AS t) t,
+                            (SELECT unnest(range({n_planes})) AS p) p),
+signs AS (
+  SELECT tp.t, tp.p, d.j,
+         CASE WHEN {sql_stable_id(sign_key)} & 1 = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM tp CROSS JOIN dims d),
+comps AS (
+  SELECT e.vec_id, d.j, CAST(e.embedding[d.j + 1] AS DOUBLE) AS v
+  FROM embeddings e CROSS JOIN dims d),
+dots AS (
+  SELECT c.vec_id, s.t, s.p, sum(s.s * c.v) AS dp
+  FROM comps c JOIN signs s ON s.j = c.j GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2)"""
+
+
+_SQL_LSH_PAIRS_BODY = """
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+lsh_pairs AS (
+  SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= {tau})"""
 
 
 def _sql_clusters() -> str:
@@ -257,6 +312,45 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {PAIR_TAU}
 """,
+        "sim_embedding_pairs_lsh": f"""
+WITH {_sql_lsh_buckets("pairs-lsh", LSH_TABLES, LSH_PLANES)},
+{_SQL_LSH_PAIRS_BODY.format(tau=PAIR_TAU).lstrip()}
+SELECT a, b, cosine FROM lsh_pairs
+""",
+        "sim_lsh_recall": f"""
+WITH {_sql_lsh_buckets("pairs-lsh", LSH_TABLES, LSH_PLANES)},
+{_SQL_LSH_PAIRS_BODY.format(tau=PAIR_TAU).lstrip()},
+exact_pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {PAIR_TAU}),
+n AS (SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+             (SELECT count(*) FROM exact_pairs e JOIN lsh_pairs l
+              ON e.a = l.a AND e.b = l.b) AS n_found)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_found AS BIGINT) AS n_found,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+                 ELSE (n_found * 1000000) // n_exact END AS BIGINT) AS recall_ppm
+FROM n
+""",
+        "sim_ivf_topk": f"""
+WITH {_sql_lsh_buckets("ivf-planes", 1, N_PLANES)},
+q AS (
+  SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe, b.bucket AS qb
+  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+  WHERE e.vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+  FROM q
+  JOIN buckets b ON b.bucket = q.qb
+  JOIN embeddings e ON e.vec_id = b.vec_id AND e.vec_id <> q.qid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sc, 6) AS score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}
+""",
         "events_tumbling": f"""
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST((epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS BIGINT) AS window_us,
@@ -330,5 +424,23 @@ SELECT doc_id, span_ord, kind, media_ref,
        CAST(CASE WHEN kind = 'image' THEN 16 + {media_h} % 2048 ELSE 0 END AS BIGINT) AS height,
        CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1000 + {media_d} % 600000 END AS BIGINT) AS n_frames
 FROM media
+"""
+    from hebrew_ner_ray.ops.multimodal import FEATURE_DIM
+
+    feat_v = sql_stable_id("media_ref || '#f' || CAST(fj AS VARCHAR)")
+    oracles["media_feature_norms"] = f"""
+WITH {CORPUS_CTE},
+media AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS span_ord,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+),
+fdims AS (SELECT unnest(range({FEATURE_DIM})) AS fj),
+f AS (
+  SELECT doc_id, span_ord, ({feat_v} % 2000001) - 1000000 AS v
+  FROM media CROSS JOIN fdims
+)
+SELECT doc_id, span_ord, CAST(sum(v * v) AS BIGINT) AS norm_sq_micro
+FROM f GROUP BY 1, 2
 """
     return oracles

@@ -217,10 +217,28 @@ def embedding_pairs(sf_dir: str, tau: float = PAIR_TAU, n_blocks: int = PAIR_BLO
 LSH_PLANES = 2  # per table: p_collide(cos=.4) ≈ .4
 LSH_TABLES = 12  # OR over tables: recall(cos=.4) ≈ 1-(1-.4)^12 ≈ .998
 
+# sign-matrix cache: (prefix, n_planes, dim) → ±1 float64 matrix.
+# Rademacher (±1) hyperplane entries derived from stable_id instead of a
+# seeded Gaussian: same locality-sensitive property (sign of a random
+# projection), but exactly reproducible in the DuckDB oracle — this is
+# what upgrades the LSH and IVF queries from rows-only to value oracles.
+_SIGN_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+
+
+def _sign_planes(prefix: str, n_planes: int, dim: int) -> np.ndarray:
+    key = (prefix, n_planes, dim)
+    m = _SIGN_CACHE.get(key)
+    if m is None:
+        m = np.array(
+            [[1.0 if stable_id(f"{prefix}-{p}-{j}") & 1 else -1.0
+              for j in range(dim)] for p in range(n_planes)]
+        )
+        _SIGN_CACHE[key] = m
+    return m
+
 
 def _table_buckets(mat: np.ndarray, table: int, n_planes: int = LSH_PLANES) -> np.ndarray:
-    rng = np.random.default_rng(stable_id(f"pairs-lsh-{table}") % 2**32)
-    planes = rng.standard_normal((n_planes, mat.shape[1]))
+    planes = _sign_planes(f"pairs-lsh-{table}", n_planes, mat.shape[1])
     bits = (mat @ planes.T) > 0
     return (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
 
@@ -288,12 +306,61 @@ def embedding_pairs_lsh(sf_dir: str, tau: float = PAIR_TAU,
     )
 
 
+def lsh_recall(sf_dir: str, tau: float = PAIR_TAU, n_tables: int = LSH_TABLES):
+    """Measured recall of the LSH pair pipeline against the exact
+    triangle-join pairs: one row (n_exact, n_found, recall_ppm).
+
+    LSH pairs are a SUBSET of the exact pairs by construction (cosine is
+    computed exactly within buckets), so n_found counts the exact pairs
+    the LSH tables recovered. Both sides are deterministic (Rademacher
+    planes keyed by stable_id) → exact DuckDB oracle; this closes the
+    'approximate recall by construction' rows-only gap with a VALUE
+    oracle on the recall itself. Intersection is a keyed exchange on the
+    pair key — nothing pair-set-sized reaches the driver."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    exact = embedding_pairs(sf_dir, tau).map_batches(
+        lambda b: pd.DataFrame({"a": b["a"].astype("int64"), "b": b["b"].astype("int64"),
+                                "side": np.zeros(len(b), dtype="int64")}),
+        batch_format="pandas",
+    )
+    found = embedding_pairs_lsh(sf_dir, tau, n_tables).map_batches(
+        lambda b: pd.DataFrame({"a": b["a"].astype("int64"), "b": b["b"].astype("int64"),
+                                "side": np.ones(len(b), dtype="int64")}),
+        batch_format="pandas",
+    )
+
+    _CNT = {"n_exact": "int64", "n_found": "int64"}
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CNT)
+        per = g.groupby(["a", "b"])["side"].agg(["min", "max"])
+        n_exact = int((per["min"] == 0).sum())
+        n_found = int(((per["min"] == 0) & (per["max"] == 1)).sum())
+        return pd.DataFrame({"n_exact": [n_exact], "n_found": [n_found]}).astype(_CNT)
+
+    partials = bucketed_aggregate(
+        exact.union(found), ["a", "b"], count_bucket, coalesce=partitions_for()
+    ).materialize()
+    sums = partials.sum(["n_exact", "n_found"]) if partials.count() else None
+    n_exact = int(sums["sum(n_exact)"]) if sums else 0
+    n_found = int(sums["sum(n_found)"]) if sums else 0
+    recall_ppm = (n_found * 1_000_000) // n_exact if n_exact else 0
+    return pd.DataFrame(
+        {"n_exact": [n_exact], "n_found": [n_found], "recall_ppm": [recall_ppm]}
+    ).astype("int64")
+
+
 N_PLANES = 4  # 16 buckets
 
 
 def _bucket_of(mat: np.ndarray, dim: int) -> np.ndarray:
-    rng = np.random.default_rng(stable_id("ivf-planes") % 2**32)
-    planes = rng.standard_normal((N_PLANES, dim))
+    # prefix carries a literal table index 0 so the SQL oracle can reuse
+    # the shared (table, plane, dim) sign-key layout of _sql_lsh_buckets
+    planes = _sign_planes("ivf-planes-0", N_PLANES, dim)
     bits = (mat @ planes.T) > 0
     return (bits.astype(np.int64) << np.arange(N_PLANES)).sum(axis=1)
 
