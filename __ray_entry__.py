@@ -18,7 +18,10 @@ from typing import Any
 def entry() -> Any:
     """Flagship: interleaved docs → NER → mentions → triples → canonical
     entities → sorted node table (sf0.001)."""
+    import hebrew_ner_ray
     from hebrew_ner_ray.pipelines.kg import build_graph
+
+    hebrew_ner_ray.enable_hash_shuffle()
 
     nodes, _edges = build_graph("/root/testdata/sf0.001")
     return nodes
@@ -144,6 +147,9 @@ def _kg_oracles() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    import hebrew_ner_ray
+
+    hebrew_ner_ray.enable_hash_shuffle()
     out: dict[str, Callable[[str], Any]] = {}
     out.update(_kg_queries())
     try:

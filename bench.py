@@ -30,6 +30,9 @@ def run_benchmarks() -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    import hebrew_ner_ray
+
+    hebrew_ner_ray.enable_hash_shuffle()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -15,7 +15,7 @@ each piece as a batch transform over Arrow data.
 __version__ = "0.2.0"
 
 
-def _enable_hash_shuffle() -> None:
+def enable_hash_shuffle() -> None:
     """Engine-wide shuffle strategy: HASH_SHUFFLE.
 
     The default sort-based shuffle picks reducer boundaries from raw
@@ -26,6 +26,14 @@ def _enable_hash_shuffle() -> None:
     partitions deterministically — no sampling, no empty-partition
     lottery — and is also what `Dataset.repartition(keys=...)` and
     `Dataset.join` require. Opt out with GRAFT_SORT_SHUFFLE=1.
+
+    Called by the engine ENTRY POINTS (__ray_entry__, bench.py, jobs,
+    serving, the test fixture) rather than at import time, so merely
+    importing hebrew_ner_ray never mutates the process-global
+    DataContext of a co-resident Ray Data workload. Library code that
+    runs without it falls back to the sort-shuffle arm of
+    ops/shuffle.py (correct, slower, cosmetic empty-partition
+    warnings).
     """
     import os
 
@@ -37,6 +45,3 @@ def _enable_hash_shuffle() -> None:
         DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     except ImportError:  # older ray without the enum — keep the default
         pass
-
-
-_enable_hash_shuffle()

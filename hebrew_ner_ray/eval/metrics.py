@@ -58,6 +58,10 @@ def evaluate_datasets(partials_ds) -> pd.DataFrame:
     materialized counter rows are tiny (five int64s per sentence)."""
     cols = ("corr_tok", "n_tok", "n_pred", "n_gold", "n_correct")
     m = partials_ds.materialize()
+    if m.count() == 0:
+        # Dataset.sum returns None on an empty dataset — an empty or
+        # fully-filtered corpus evaluates to zero counts, not a TypeError
+        return finalize({c: 0 for c in cols})
     sums = m.sum(on=list(cols))  # ONE action for all five totals
     totals = {c: sums[f"sum({c})"] for c in cols}
     return finalize(totals)

@@ -96,6 +96,9 @@ def main(argv=None) -> int:
         # under `ray job submit` RAY_ADDRESS points at the cluster; locally
         # this starts a sandbox session
         ray.init(include_dashboard=False)
+    import hebrew_ner_ray
+
+    hebrew_ner_ray.enable_hash_shuffle()
     try:
         print(json.dumps(run_job(args)))
     finally:

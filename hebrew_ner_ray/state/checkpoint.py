@@ -161,16 +161,3 @@ def run_partitioned(
         _commit(out_dir, record)
         ran.append(k)
     return ran
-
-
-def partition_filter(batch, n_partitions: int, partition: int):
-    """Vectorized doc-id partition predicate for pyarrow batches
-    (hash bucket = integer doc id % n_partitions)."""
-    import numpy as np
-    import pyarrow as pa
-
-    ids = np.asarray(
-        [int(d.split("-")[1]) for d in batch.column("doc_id").to_pylist()], dtype=np.int64
-    )
-    mask = (ids % n_partitions) == partition
-    return batch.filter(pa.array(mask))

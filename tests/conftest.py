@@ -8,6 +8,9 @@ def ray_session():
 
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    import hebrew_ner_ray
+
+    hebrew_ner_ray.enable_hash_shuffle()
     try:
         from ray.data import DataContext
 

@@ -78,3 +78,19 @@ def test_lattice_tsv_roundtrip():
     text = lattice_to_tsv(sents)
     back = tsv_to_lattice(text)
     assert back == sents
+
+
+def test_evaluate_datasets_empty_is_zero_metrics(ray_session):
+    """ADVICE r2: Dataset.sum returns None on an empty dataset — an empty
+    or fully-filtered corpus must evaluate to zero counts, not TypeError."""
+    import ray.data
+
+    from hebrew_ner_ray.eval.metrics import evaluate_datasets
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({c: pd.Series(dtype="int64")
+                      for c in ("corr_tok", "n_tok", "n_pred", "n_gold", "n_correct")})
+    )
+    out = evaluate_datasets(empty)
+    assert int(out["n_tok"].iloc[0]) == 0
+    assert int(out["f1_ppm"].iloc[0]) == 0

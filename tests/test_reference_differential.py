@@ -18,7 +18,6 @@ Reference files exercised:
 from __future__ import annotations
 
 import ast
-import importlib.util
 import random
 import string
 from pathlib import Path
@@ -31,6 +30,30 @@ from hebrew_ner_ray.text.tokenizer import tokenize
 
 REF = Path("/root/reference")
 
+# Integrity pins: the harness EXECUTES code read from the (untrusted,
+# read-only) reference checkout. Refuse to exec anything whose bytes
+# differ from the audited snapshot — a tampered checkout must not gain
+# code execution in CI; a legitimately updated reference must be
+# re-audited and re-pinned here.
+_REF_SHA256 = {
+    "utils/ner.py": "35ea5ebdd2aa98ba1ba965910a7dd57e9bc87060679fa70090f855d6a8355946",
+    "utils/tokenizer.py": "5c0f25c4a159e83fe12bb779df3a2a9e75aa94a8641c04ab88d4f56c8422fcb6",
+}
+
+
+def _pinned_source(rel: str) -> str:
+    import hashlib
+
+    data = (REF / rel).read_bytes()
+    got = hashlib.sha256(data).hexdigest()
+    if got != _REF_SHA256[rel]:
+        pytest.fail(
+            f"reference file {rel} does not match its pinned sha256 "
+            f"(got {got}) — refusing to exec unaudited code; re-audit and re-pin"
+        )
+    return data.decode()
+
+
 pytestmark = pytest.mark.skipif(
     not REF.exists(), reason="reference checkout not present"
 )
@@ -38,7 +61,7 @@ pytestmark = pytest.mark.skipif(
 
 def _load_reference_fns(names: set):
     """AST-extract arbitrary pure functions from reference utils/ner.py."""
-    src = (REF / "utils" / "ner.py").read_text()
+    src = _pinned_source("utils/ner.py")
     tree = ast.parse(src)
     module = ast.Module(
         body=[n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name in names],
@@ -57,7 +80,7 @@ def _load_reference_groupings():
     """Extract the grouping rule functions from the reference source by AST
     (utils/ner.py imports yap/config/pandas at module level, so a plain
     import is impossible; the functions themselves are pure)."""
-    src = (REF / "utils" / "ner.py").read_text()
+    src = _pinned_source("utils/ner.py")
     tree = ast.parse(src)
     wanted = {
         "normalise_final_letters",
@@ -76,12 +99,14 @@ def _load_reference_groupings():
 
 
 def _load_reference_tokenizer():
-    """utils/tokenizer.py is self-contained (re + typing) — load by path."""
-    spec = importlib.util.spec_from_file_location(
-        "_ref_tokenizer", REF / "utils" / "tokenizer.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    """utils/tokenizer.py is self-contained (re + typing); its module-level
+    code builds the scanner tables the functions need, so it is exec'd
+    whole — gated on the sha256 pin above."""
+    import types
+
+    src = _pinned_source("utils/tokenizer.py")
+    mod = types.ModuleType("_ref_tokenizer")
+    exec(compile(src, "<reference utils/tokenizer.py>", "exec"), mod.__dict__)
     return mod
 
 
