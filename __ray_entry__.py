@@ -101,11 +101,20 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return ev(sf_dir)
 
+    def eval_bmes_files(sf_dir: str):
+        """S1-S3/S8 under the correctness gate: corpus → tagger →
+        partitioned BMES files → read_bmes → score vs the committed gold
+        BMES fixture (reference file-eval flow, utils/eval/eval_single.py)."""
+        from hebrew_ner_ray.pipelines.evaljoin import eval_bmes_files as ev
+
+        return ev(sf_dir)
+
     return {
         "ner_token_bio": ner_token_bio,
         "ner_crf": ner_crf,
         "ner_crf_nbest": ner_crf_nbest,
         "eval_vs_gold": eval_vs_gold,
+        "eval_bmes_files": eval_bmes_files,
         "eval_hybrid_vs_single": eval_hybrid_vs_single,
         "morph_groupings": _ner("groupings"),
         "kg_flatten_spans": kg_flatten,
@@ -138,6 +147,9 @@ def _kg_oracles() -> dict[str, str]:
         "ner_crf": o.sql_token_labels("crf"),
         "ner_crf_nbest": o.sql_crf_nbest(),
         "eval_vs_gold": o.sql_eval_vs_gold(),
+        # the file roundtrip is lossless and the fixture gold IS the CRF
+        # gold per template, so the join-eval oracle is the exact twin
+        "eval_bmes_files": o.sql_eval_vs_gold(),
         "kg_mentions": o.sql_mentions(),
         "kg_triples": o.sql_triples(),
         "kg_nodes": o.sql_nodes(),

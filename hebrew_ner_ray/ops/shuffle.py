@@ -122,6 +122,15 @@ def bucketed_aggregate(
     if _hash_strategy_active():
         n = coalesce or partitions_for()
         parts = ds.repartition(n, keys=list(key_cols))
+        # PINNED ASSUMPTION (Ray 2.49): hash-shuffle finalize emits exactly
+        # ONE block per partition (the Ray source carries a 'TODO break
+        # down blocks to target size'), so batch_size=None hands ``agg``
+        # every row of a partition in a single call. If a future Ray
+        # splits oversized partitions into multiple blocks, non-idempotent
+        # aggs would emit duplicate key rows — the canary test
+        # tests/test_ops.py::test_hash_shuffle_one_block_per_partition
+        # builds a partition several times target_max_block_size and fails
+        # loudly the moment that contract changes.
         return parts.map_batches(agg, batch_format="pandas", batch_size=None)
     bucketed = ds.map_batches(
         lambda b: add_key_bucket(b, key_cols, n_buckets), batch_format="pandas"

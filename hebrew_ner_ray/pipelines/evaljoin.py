@@ -62,3 +62,68 @@ def eval_vs_gold(sf_dir: str, num_partitions: int | None = None):
     partials = grouped_exchange(joined, ["doc_id", "span_ord"], _sentence_counts_group,
                                 n_partitions=num_partitions)
     return evaluate_datasets(partials)
+
+
+GOLD_BMES_FIXTURE = "gold_eval.bmes"
+
+
+def gold_bmes_path() -> str:
+    """The committed gold BMES fixture — the engine's analogue of the
+    reference's utils_eval_files/ conformance corpus: one sentence per
+    fixture template, labels = the CRF gold sequence."""
+    import os
+
+    import hebrew_ner_ray.fixtures as fx
+
+    return os.path.join(os.path.dirname(fx.__file__), "data", GOLD_BMES_FIXTURE)
+
+
+def eval_bmes_files(sf_dir: str, out_dir: str | None = None,
+                    num_partitions: int | None = None):
+    """The reference's FILE-based evaluation flow (utils/ner.py:32-55
+    write_decoded_results → utils/eval/eval_single.py:6-16 read + score)
+    at corpus scale: tag the corpus, write partitioned BMES files, read
+    them back with the S1–S3 reader, score every sentence against the
+    committed gold BMES fixture, and sum to one P/R/F row.
+
+    Scale shape: the write is one keyed exchange (one file per
+    partition, content-hash named, atomic rename); the read streams the
+    files; the gold side is a tiny broadcast (ray.put once); per-sentence
+    counts flow through the standard partial+final metric aggregate.
+    Matches eval_vs_gold's oracle exactly — the BMES roundtrip must be
+    lossless and the file gold IS the CRF gold per template."""
+    import tempfile
+
+    import ray
+
+    from hebrew_ner_ray.eval.metrics import evaluate_datasets, sentence_counts
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
+    from hebrew_ner_ray.pipelines.kg import annotated
+    from hebrew_ner_ray.sources.bmes import read_bmes, write_bmes_partitioned
+
+    pred = annotated(sf_dir, "single")
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bmes_eval_")
+    manifest = write_bmes_partitioned(pred, out_dir,
+                                      n_partitions=num_partitions).materialize()
+    paths = sorted(manifest.to_pandas()["path"])  # one row per partition
+
+    gold = read_bmes([gold_bmes_path()]).to_pandas()  # one sentence per template
+    gold_map = {
+        " ".join(grp.sort_values("word_idx")["word"]): list(grp.sort_values("word_idx")["label"])
+        for _, grp in gold.groupby("sent_id")
+    }
+    gold_ref = ray.put(gold_map)
+
+    def score_sentence(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_COUNT_COLS)
+        g = g.sort_values("word_idx")
+        labels_gold = ray.get(gold_ref)[" ".join(g["word"])]
+        ct, nt, np_, ng, nc = sentence_counts(list(g["label"]), labels_gold)
+        return pd.DataFrame({"corr_tok": [ct], "n_tok": [nt], "n_pred": [np_],
+                             "n_gold": [ng], "n_correct": [nc]}).astype(_COUNT_COLS)
+
+    rows = read_bmes(paths)
+    partials = grouped_exchange(rows, ["path", "sent_id"], score_sentence,
+                                n_partitions=num_partitions)
+    return evaluate_datasets(partials)

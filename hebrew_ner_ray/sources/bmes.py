@@ -156,9 +156,50 @@ def nbest_from_matches(tokens, matches) -> tuple:
     return hyps, scores
 
 
+def write_bmes_partitioned(token_rows, out_dir: str, n_partitions: int | None = None):
+    """``write_decoded_results`` (utils/ner.py:32-55) at corpus scale:
+    token rows keyed (doc_id, span_ord, word_idx) are hash-partitioned by
+    sentence key and each partition task renders + atomically writes ONE
+    BMES file — nothing corpus-shaped touches the driver, the output is
+    a resumable partitioned layout, and the file name is a content hash
+    of the partition's sentence keys (deterministic across retries).
+
+    Returns the manifest Dataset (path, n_sentences); materialize it to
+    barrier on the writes before reading the files back."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _MANIFEST = {"path": "object", "n_sentences": "int64"}
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_MANIFEST)
+        g = g.sort_values(["doc_id", "span_ord", "word_idx"], kind="stable")
+        sents, keys = [], []
+        for (d, s), grp in g.groupby(["doc_id", "span_ord"], sort=True):
+            sents.append(list(zip(grp["word"], grp["label"])))
+            keys.append(f"{d}:{s}")
+        name = hashlib.md5("|".join(keys).encode()).hexdigest()[:16] + ".bmes"
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(bmes_lines(sents))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "n_sentences": [len(keys)]}).astype(_MANIFEST)
+
+    return bucketed_aggregate(token_rows, ["doc_id", "span_ord"], write_part,
+                              coalesce=n_partitions or partitions_for())
+
+
 def write_bmes(ds, path: str) -> None:
     """Materialize a (sent_id, word_idx, word, label) dataset to one BMES
-    file (conformance-fixture sink — small outputs only)."""
+    file (conformance-fixture sink — small outputs only; the corpus-scale
+    sink is :func:`write_bmes_partitioned`)."""
     import pandas as pd
 
     df = ds.to_pandas().sort_values(["sent_id", "word_idx"])

@@ -192,3 +192,40 @@ def test_curation_antijoin_arm_matches_broadcast_arm(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bcast, anti)
+
+
+def test_hash_shuffle_one_block_per_partition(ray_session):
+    """CANARY for the pinned Ray 2.49 contract bucketed_aggregate relies
+    on: repartition(n, keys) emits ONE block per hash partition even when
+    the partition is several times target_max_block_size, so an agg run
+    with batch_size=None sees every row of its partition in one call. If
+    a Ray upgrade starts splitting oversized partitions, this test fails
+    and every non-idempotent reduce in ops/ must grow a final combine."""
+    import ray.data
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 << 20  # 1 MiB
+    try:
+        # one hot key, ~8 MiB of payload → partition is 8× the block cap
+        n_rows = 120_000
+        df = pd.DataFrame({
+            "k": np.zeros(n_rows, dtype=np.int64),
+            "payload": ["x" * 64] * n_rows,
+        })
+        parts = ray.data.from_pandas(df).repartition(4, keys=["k"])
+        seen = parts.map_batches(
+            lambda b: pd.DataFrame({"rows": [len(b)]}),
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()
+        populated = seen[seen["rows"] > 0]
+        assert len(populated) == 1, (
+            f"hash shuffle split an oversized partition into {len(populated)} "
+            "blocks — the one-block-per-partition contract bucketed_aggregate "
+            "relies on no longer holds; add a final combine to every "
+            "non-idempotent agg (ops/shuffle.py pinned-assumption comment)"
+        )
+        assert int(populated["rows"].iloc[0]) == n_rows
+    finally:
+        ctx.target_max_block_size = old

@@ -106,3 +106,41 @@ def test_groupings_cover_all_indices_mostly():
     groups, words = make_groupings(["ו", "כש", "הם", "באו", ".", "ב", "ה", "גן"])
     flat = sorted(i for g in groups for i in g)
     assert flat == list(range(8))
+
+
+def test_write_bmes_partitioned_roundtrip(ray_session):
+    """S8 corpus-scale sink: partitioned write → read_bmes roundtrip is
+    lossless (every sentence, word order, labels) and the manifest counts
+    match."""
+    import tempfile
+
+    import pandas as pd
+    import ray.data
+
+    from hebrew_ner_ray.sources.bmes import read_bmes, write_bmes_partitioned
+
+    rows = []
+    for d in range(7):
+        for s in range(2):
+            for w in range(3):
+                rows.append((f"doc-{d:08d}", s, w, f"w{d}_{s}_{w}", "O" if w else "S-PER"))
+    df = pd.DataFrame(rows, columns=["doc_id", "span_ord", "word_idx", "word", "label"])
+    out_dir = tempfile.mkdtemp(prefix="bmes_part_")
+
+    manifest = write_bmes_partitioned(
+        ray.data.from_pandas(df), out_dir, n_partitions=4
+    ).materialize().to_pandas()
+    assert manifest["n_sentences"].sum() == 14
+
+    back = read_bmes(sorted(manifest["path"])).to_pandas()
+    assert len(back) == len(df)
+    # every (word, label) sentence block survives exactly once
+    orig = sorted(
+        tuple(zip(g.sort_values("word_idx")["word"], g.sort_values("word_idx")["label"]))
+        for _, g in df.groupby(["doc_id", "span_ord"])
+    )
+    got = sorted(
+        tuple(zip(g.sort_values("word_idx")["word"], g.sort_values("word_idx")["label"]))
+        for _, g in back.groupby(["path", "sent_id"])
+    )
+    assert got == orig
