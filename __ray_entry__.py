@@ -86,6 +86,15 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return annotated(sf_dir, "single").map_batches(convert, batch_format="pyarrow")
 
+    def ner_token_features(sf_dir: str):
+        """Feature-column surface (utils/data.py:206-232): a [POS]-style
+        column derived vectorized inside the tagged pipeline
+        (text/features.py), under an exact value oracle."""
+        from hebrew_ner_ray.text.features import pos_feature_batch
+
+        return annotated(sf_dir, "single").map_batches(
+            pos_feature_batch, batch_format="pyarrow")
+
     def ner_crf(sf_dir: str):
         from hebrew_ner_ray.pipelines.kg import annotated_crf
 
@@ -111,6 +120,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "ner_token_bio": ner_token_bio,
+        "ner_token_features": ner_token_features,
         "ner_crf": ner_crf,
         "ner_crf_nbest": ner_crf_nbest,
         "eval_vs_gold": eval_vs_gold,
@@ -144,6 +154,7 @@ def _kg_oracles() -> dict[str, str]:
         "ner_morph": o.sql_morph(),
         "ner_hybrid": o.sql_token_labels("hybrid"),
         "ner_token_bio": o.sql_token_labels("bio"),
+        "ner_token_features": o.sql_token_features(),
         "ner_crf": o.sql_token_labels("crf"),
         "ner_crf_nbest": o.sql_crf_nbest(),
         "eval_vs_gold": o.sql_eval_vs_gold(),

@@ -120,6 +120,19 @@ WHERE a.is_text
 """
 
 
+def sql_token_features() -> str:
+    """Single-tagger rows plus the coarse-POS feature column — the §2.9
+    feature-column surface (utils/data.py:206-232) under a value oracle;
+    the CASE expression is the Arrow kernel's exact twin
+    (text/features.py)."""
+    from hebrew_ner_ray.text.features import sql_pos_feature
+
+    return f"""SELECT doc_id, span_ord, word_idx, word, label,
+       {sql_pos_feature('word')} AS feat_pos
+FROM ({sql_token_labels('single')})
+"""
+
+
 def sql_morph() -> str:
     rows = []
     for t, a in enumerate(template_artifacts()):

@@ -103,16 +103,20 @@ def build_graph(sf_dir: str, replicas: int = 1, concurrency=None, sort: bool = T
 
 
 def write_graph(sf_dir: str, out_dir: str, replicas: int = 1, concurrency=None):
-    """Materialize the graph to partitioned parquet (resumable layout:
-    one directory per table, many part files, idempotent rewrite)."""
+    """Materialize the graph through the single sink path
+    (sources/lance_io.write_graph_tables — Lance when the wheel exists,
+    parquet fallback otherwise; same resumable one-directory-per-table
+    layout either way). The config-driven pipeline uses the same sink, so
+    the format decision lives in exactly one place."""
+    from hebrew_ner_ray.sources.lance_io import write_graph_tables
+
     nodes, edges = build_graph(sf_dir, replicas=replicas, concurrency=concurrency)
-    nodes.write_parquet(f"{out_dir}/nodes")
-    edges.write_parquet(f"{out_dir}/edges")
-    return out_dir
+    return write_graph_tables(nodes, edges, out_dir)
 
 
 def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: int,
-                        replicas: int = 1, concurrency=None):
+                        replicas: int = 1, concurrency=None,
+                        diversify: bool = False, entity_mix: int = 0):
     """Annotation restricted to one doc-id hash partition — the unit of
     checkpointed work. The partition predicate is applied to the integer
     ids BEFORE span generation, so skipped partitions cost nothing (at
@@ -132,7 +136,8 @@ def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: in
 
         ids = batch.column("id").to_numpy()
         ids = ids[ids % n_partitions == partition]  # prune before generation
-        return generate_docs_batch({"doc_id": ids}, media_refs=False)
+        return generate_docs_batch({"doc_id": ids}, media_refs=False,
+                                   diversify=diversify, entity_mix=entity_mix)
 
     docs = ids_ds.map_batches(gen_partition, batch_format="pyarrow", batch_size=4096,
                               num_cpus=0.9)
@@ -140,7 +145,7 @@ def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: in
                                             num_cpus=0.9)
     return spans.map_batches(
         AnnotateBatch,
-        fn_constructor_kwargs={"emit": emit},
+        fn_constructor_kwargs={"emit": emit, "synthetic_entities": entity_mix > 0},
         batch_format="pyarrow",
         batch_size=DEFAULT_BATCH_SIZE,
         concurrency=concurrency or default_concurrency(),
@@ -148,7 +153,8 @@ def annotated_partition(sf_dir: str, emit: str, partition: int, n_partitions: in
 
 
 def build_graph_resumable(sf_dir: str, work_dir: str, n_partitions: int = 8,
-                          replicas: int = 1, concurrency=None):
+                          replicas: int = 1, concurrency=None,
+                          diversify: bool = False, entity_mix: int = 0):
     """Checkpointed KG build: the expensive annotation stage is written per
     doc-id partition with an atomic-commit manifest (state/checkpoint.py);
     the cheap canonicalization/aggregation re-runs from the checkpoint.
@@ -166,13 +172,16 @@ def build_graph_resumable(sf_dir: str, work_dir: str, n_partitions: int = 8,
         "n_partitions": n_partitions,
         "partitioner": "doc_id % n_partitions",
         "engine": f"hebrew_ner_ray {hebrew_ner_ray.__version__}",
+        "diversify": diversify,
+        "entity_mix": entity_mix,
     }
     for emit in ("mentions", "triples"):
         run_partitioned(
             f"{work_dir}/{emit}",
             range(n_partitions),
             lambda k, emit=emit: annotated_partition(
-                sf_dir, emit, k, n_partitions, replicas=replicas, concurrency=concurrency
+                sf_dir, emit, k, n_partitions, replicas=replicas,
+                concurrency=concurrency, diversify=diversify, entity_mix=entity_mix
             ),
             lineage={**lineage, "emit": emit},
         )

@@ -44,6 +44,80 @@ def parse_bmes_text(content: str, comment_delim: str = "#", word_label_delim: st
     return rows
 
 
+def parse_bmes_features_text(content: str, comment_delim: str = "#"):
+    """Feature-columned BMES text → (sent_id, word_idx, word, feats, label)
+    with feats a list of the middle-column VALUES.
+
+    Reference semantics (utils/functions.py:115-121 ``read_instance`` +
+    utils/data.py:206-232 ``initial_feature_alphabets``): columns between
+    the word and the label are features; the value is
+    ``col.split(']', 1)[-1]`` — so ``[POS]NN`` → ``NN``, a further ``]``
+    stays in the value, and a column WITHOUT a bracket prefix passes
+    through whole (the reference quirk, pinned in tests)."""
+    rows = []
+    sent, word_idx = 0, 0
+    for line in content.splitlines():
+        if line.startswith(comment_delim):
+            continue
+        line = line.strip()
+        if line:
+            parts = line.split()
+            word, label = parts[0], parts[-1]
+            feats = [p.split("]", 1)[-1] for p in parts[1:-1]]
+            rows.append((sent, word_idx, word, feats, label))
+            word_idx += 1
+        else:
+            sent += 1
+            word_idx = 0
+    return rows
+
+
+def feature_names(content: str, comment_delim: str = "#") -> list:
+    """Feature-column NAMES from the first data line — the reference's
+    ``initial_feature_alphabets`` (utils/data.py:206-218): prefix up to
+    and including the first ``]``."""
+    for line in content.splitlines():
+        if line.startswith(comment_delim) or not line.strip():
+            continue
+        parts = line.strip().split()
+        return [p.split("]", 1)[0] + "]" for p in parts[1:-1]]
+    return []
+
+
+def read_bmes_features(paths) -> "object":
+    """Dataset of (path, sent_id, word_idx, word, feats, label) rows —
+    ``feats`` an Arrow list<string> column, positional like the
+    reference's feature alphabets."""
+    import ray.data
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {"path": [], "sent_id": [], "word_idx": [], "word": [],
+               "feats": [], "label": []}
+        for path, data in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            for s, w, word, feats, label in parse_bmes_features_text(data.decode("utf-8")):
+                out["path"].append(path)
+                out["sent_id"].append(s)
+                out["word_idx"].append(w)
+                out["word"].append(word)
+                out["feats"].append(feats)
+                out["label"].append(label)
+        return pa.table(
+            {
+                "path": pa.array(out["path"], type=pa.string()),
+                "sent_id": pa.array(out["sent_id"], type=pa.int64()),
+                "word_idx": pa.array(out["word_idx"], type=pa.int64()),
+                "word": pa.array(out["word"], type=pa.string()),
+                "feats": pa.array(out["feats"], type=pa.list_(pa.string())),
+                "label": pa.array(out["label"], type=pa.string()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
 def parse_origins_text(content: str, comment_delim: str = "#"):
     """Token-origin file → (sent_id, morph_idx, origin) with the
     reference's 1-based→0-based correction (utils/ner.py:86-115)."""

@@ -167,3 +167,30 @@ def test_write_graph(ray_session, tmp_path):
         assert files
         n = sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files)
         assert n > 0
+
+
+def test_write_graph_single_sink_layout(ray_session):
+    """VERDICT r2 #5: write_graph and the config-driven path must share
+    the lance_io sink and produce identical layouts."""
+    import tempfile
+
+    import pandas as pd
+
+    from hebrew_ner_ray.config import build_pipeline
+    from hebrew_ner_ray.pipelines.kg import write_graph
+
+    d1 = tempfile.mkdtemp(prefix="wg_direct_")
+    d2 = tempfile.mkdtemp(prefix="wg_config_")
+    write_graph(SF, d1)
+    build_pipeline({"pipeline": "kg", "sf_dir": SF, "out_dir": d2})
+
+    import ray.data
+
+    for sub in ("nodes", "edges"):
+        a = ray.data.read_parquet(f"{d1}/{sub}").to_pandas()
+        b = ray.data.read_parquet(f"{d2}/{sub}").to_pandas()
+        key = [c for c in a.columns]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )

@@ -144,3 +144,51 @@ def test_write_bmes_partitioned_roundtrip(ray_session):
         for _, g in back.groupby(["path", "sent_id"])
     )
     assert got == orig
+
+
+def test_parse_bmes_features_reference_quirks():
+    """Reference read_instance feature parsing (utils/functions.py:115-121):
+    value = col.split(']', 1)[-1] — bracket prefix stripped, later ']'
+    kept, and an unprefixed column passes through whole. Names from the
+    first data line (utils/data.py:206-218)."""
+    from hebrew_ner_ray.sources.bmes import feature_names, parse_bmes_features_text
+
+    content = "\n".join([
+        "# comment",
+        "שלום [POS]NN [Cap]0 O",
+        "עולם [POS]J]J [Cap]1 S-PER",
+        "",
+        "בית raw NN O",
+    ])
+    rows = parse_bmes_features_text(content)
+    assert rows[0] == (0, 0, "שלום", ["NN", "0"], "O")
+    assert rows[1] == (0, 1, "עולם", ["J]J", "1"], "S-PER")   # later ']' kept
+    assert rows[2] == (1, 0, "בית", ["raw", "NN"], "O")       # unprefixed whole
+    assert feature_names(content) == ["[POS]", "[Cap]"]
+
+
+def test_read_bmes_features_dataset(ray_session, tmp_path):
+    from hebrew_ner_ray.sources.bmes import read_bmes_features
+
+    p = tmp_path / "f.bmes"
+    p.write_text("א [POS]NN O\nב [POS]VB S-ORG\n\nג [POS]JJ O\n", encoding="utf-8")
+    df = read_bmes_features([str(p)]).to_pandas()
+    assert list(df["word"]) == ["א", "ב", "ג"]
+    assert [list(f) for f in df["feats"]] == [["NN"], ["VB"], ["JJ"]]
+    assert list(df["sent_id"]) == [0, 0, 1]
+
+
+def test_pos_feature_kernel_matches_sql():
+    import duckdb
+    import pyarrow as pa
+
+    from hebrew_ner_ray.text.features import pos_feature_batch, sql_pos_feature
+
+    words = ["שלום", "3,000", "12:30", ".", "?!", "50%", "(", "a1", "1.", "-", "בית"]
+    t = pa.table({"word": pa.array(words)})
+    got = pos_feature_batch(t).column("feat_pos").to_pylist()
+    con = duckdb.connect()
+    sql = con.execute(
+        f"SELECT {sql_pos_feature('w')} FROM (SELECT unnest(?) AS w)", [words]
+    ).fetchall()
+    assert got == [r[0] for r in sql]
