@@ -86,7 +86,10 @@ def dedup_exact(sf_dir: str):
             canonical_doc_id=("canonical_doc_id", "min"), n_dups=("n_dups", "sum")
         )
 
-    return bucketed_aggregate(partials, ["text_hash"], reduce, coalesce=32)
+    from hebrew_ner_ray.ops.shuffle import partitions_for
+
+    return bucketed_aggregate(partials, ["text_hash"], reduce,
+                              coalesce=partitions_for())
 
 
 # --- shingle explode (shared by jaccard + minhash) ---
@@ -185,7 +188,10 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     # Dataset.aggregate (per-distinct-key reduce overhead — ops/shuffle.py)
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
-    return bucketed_aggregate(pairs, ["a", "b"], reduce_pairs, coalesce=16)
+    from hebrew_ner_ray.ops.shuffle import partitions_for
+
+    return bucketed_aggregate(pairs, ["a", "b"], reduce_pairs,
+                              coalesce=partitions_for())
 
 
 # --- minhash LSH ---
@@ -238,7 +244,10 @@ def dedup_minhash(sf_dir: str):
             return typed_empty({"a": "int64", "b": "int64"})
         return g.drop_duplicates(["a", "b"])
 
-    return bucketed_aggregate(pairs, ["a", "b"], dedupe, coalesce=16)
+    from hebrew_ner_ray.ops.shuffle import partitions_for
+
+    return bucketed_aggregate(pairs, ["a", "b"], dedupe,
+                              coalesce=partitions_for())
 
 
 # --- connected components over near-dup pairs ---

@@ -251,7 +251,7 @@ def embedding_pairs_lsh(sf_dir: str, tau: float = PAIR_TAU,
     (rows-only oracle); emitted cosines are exact."""
     import ray.data
 
-    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -302,7 +302,7 @@ def embedding_pairs_lsh(sf_dir: str, tau: float = PAIR_TAU,
     return bucketed_aggregate(
         cand, ["a", "b"],
         lambda g: g.drop_duplicates(["a", "b"]) if len(g) else _empty_pairs(),
-        coalesce=16,
+        coalesce=partitions_for(),
     )
 
 

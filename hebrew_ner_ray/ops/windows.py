@@ -68,7 +68,10 @@ def events_tumbling(sf_dir: str):
         )
         return out.astype(_TUMBLE_COLS)
 
-    return sized_aggregate(partials, ["user_id", "window_us"], reduce, coalesce=32)
+    from hebrew_ner_ray.ops.shuffle import partitions_for
+
+    return sized_aggregate(partials, ["user_id", "window_us"], reduce,
+                           coalesce=partitions_for())
 
 
 _SPART_COLS = {"user_id": "int64", "start_us": "int64", "end_us": "int64",
@@ -170,8 +173,8 @@ def events_top_users(sf_dir: str, k: int = 20):
         )
         return out[list(_TOP_COLS)].astype(_TOP_COLS)
 
-    from hebrew_ner_ray.ops.shuffle import sized_aggregate
+    from hebrew_ner_ray.ops.shuffle import partitions_for, sized_aggregate
 
     agg = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
-                          ["user_id"], reduce, coalesce=32)
+                          ["user_id"], reduce, coalesce=partitions_for())
     return agg.sort(["total_value_micro", "user_id"], descending=[True, False]).limit(k)
