@@ -25,6 +25,32 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "40"))
 
 
+def host_parallel_efficiency(workers: int = NUM_CPUS) -> float:
+    """~2 s probe of the sandbox host's ACTUAL parallel capacity: the
+    wall-time ratio of one CPU-burn task vs ``workers`` identical tasks
+    run concurrently. 1.0 = uncontended; well below 1.0 means external
+    neighbor load is stealing cores and every timing in this report is
+    inflated by roughly that factor (measured as low as 0.26 on this
+    sandbox). Recorded so BENCH numbers are comparable across rounds."""
+    import concurrent.futures as cf
+
+    def burn(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    n = 5_000_000
+    t0 = time.perf_counter()
+    burn(n)
+    one = time.perf_counter() - t0
+    with cf.ProcessPoolExecutor(workers) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(burn, [n] * workers))
+        par = time.perf_counter() - t0
+    return round(one / par, 3)
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -84,6 +110,7 @@ def run_benchmarks() -> dict:
             "queries": timings, "sf": SF_DIR, "num_cpus": NUM_CPUS,
             "replicas": REPLICAS, "docs": n_docs,
             "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+            "host_parallel_efficiency": host_parallel_efficiency(),
         }
 
     # cache-defeating variant: every sentence distinct → true per-sentence
@@ -129,6 +156,7 @@ def run_benchmarks() -> dict:
         "replicas": REPLICAS,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+        "host_parallel_efficiency": host_parallel_efficiency(),
     }
 
 
@@ -159,6 +187,8 @@ def run_scaling() -> dict:
         "sec_hi": t_hi,
         "docs_per_sec_lo": r_lo.get("docs_per_sec"),
         "docs_per_sec_hi": r_hi.get("docs_per_sec"),
+        "host_parallel_efficiency_lo": r_lo.get("host_parallel_efficiency"),
+        "host_parallel_efficiency_hi": r_hi.get("host_parallel_efficiency"),
         "sf": SF_DIR,
     }
 

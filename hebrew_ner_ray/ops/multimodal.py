@@ -141,3 +141,35 @@ def media_feature_norms(sf_dir: str):
     norm_sq_micro) — the feature vector's squared norm in integer
     micro²-units, exact in int64 on both the Ray and SQL sides."""
     return media_features(sf_dir).select_columns(["doc_id", "span_ord", "norm_sq_micro"])
+
+
+def media_feature_components(sf_dir: str):
+    """Unnest of the ``feature`` list column itself to
+    (doc_id, span_ord, fj, comp_micro) rows — the VALUE oracle for the
+    list payload that ``media_features`` must keep rows-only (the driver
+    compare can't hash list columns).
+
+    The micro integer is recovered from the stored float32 exactly:
+    |v| ≤ 1e6, so v/1e6 carries absolute float32 error < 1e6·2⁻²⁴ ≈ 0.06
+    and rint(f·1e6) is lossless. This checks the Arrow list column's
+    actual stored values, not a side-channel recomputation."""
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        feat = batch.column("feature")
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        dim = feat.type.list_size
+        flat = feat.values.to_numpy(zero_copy_only=False)
+        comp = np.rint(flat.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), dim)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(idx)),
+                "span_ord": batch.column("span_ord").take(pa.array(idx)),
+                "fj": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+                "comp_micro": pa.array(comp, type=pa.int64()),
+            }
+        )
+
+    return media_features(sf_dir).map_batches(unnest, batch_format="pyarrow")

@@ -86,6 +86,7 @@ def ops_queries():
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col → rows-only
         "media_feature_norms": _wrap(multimodal.media_feature_norms),
+        "media_feature_components": _wrap(multimodal.media_feature_components),
         "corpus_curation": _curation,
     }
 
@@ -442,5 +443,17 @@ f AS (
 )
 SELECT doc_id, span_ord, CAST(sum(v * v) AS BIGINT) AS norm_sq_micro
 FROM f GROUP BY 1, 2
+"""
+    oracles["media_feature_components"] = f"""
+WITH {CORPUS_CTE},
+media AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS span_ord,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+),
+fdims AS (SELECT unnest(range({FEATURE_DIM})) AS fj)
+SELECT doc_id, span_ord, CAST(fj AS BIGINT) AS fj,
+       CAST(({feat_v} % 2000001) - 1000000 AS BIGINT) AS comp_micro
+FROM media CROSS JOIN fdims
 """
     return oracles

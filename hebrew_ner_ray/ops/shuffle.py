@@ -49,9 +49,15 @@ def partitions_for(count: int | None = None, lo: int = 4) -> int:
     ~data/16 at 100-TB scale).
 
     - ``count`` known: ceil(count / PARTITION_TARGET_ROWS), clamped to
-      [lo, 8 × 2·cpus] so tiny inputs pay a tiny exchange and huge ones
+      [lo, 16·cpus] so tiny inputs pay a tiny exchange and huge ones
       still scale with the cluster rather than with key cardinality.
-    - ``count`` unknown: 2·cpus (one wave of reducers with headroom).
+    - ``count`` unknown: cpus/2. Each hash partition is one aggregator
+      ACTOR in Ray 2.49 — more partitions than cores buys no reduce
+      parallelism and the actor spin-up cost scales with the count
+      (measured: 64 partitions on 32 CPUs turned dedup_jaccard's two
+      exchanges from 5.5 s into 48 s). cpus/2 leaves the other half of
+      the node to the map side feeding the exchange and still grows with
+      the cluster.
     """
     try:
         import ray
@@ -59,11 +65,11 @@ def partitions_for(count: int | None = None, lo: int = 4) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:  # pragma: no cover - ray import always works in-engine
         cpus = 4
-    base = max(lo, 2 * cpus)
+    base = max(lo, cpus // 2)
     if count is None:
         return base
     need = -(-max(count, 1) // PARTITION_TARGET_ROWS)
-    return max(lo, min(need, 8 * base))
+    return max(lo, min(need, 16 * cpus))
 
 # retained for callers that pre-bucket by hand / tests
 DEFAULT_BUCKETS = 4096

@@ -155,7 +155,14 @@ def read_interleaved(sf_dir: str, replicas: int = 1, media_refs: bool = True,
     # block, which would serialize the whole downstream chain. range()
     # creates real block parallelism (one generation task per ~4096 docs).
     total = n * replicas
-    n_blocks = max(8, min(total // 4096 + 1, 2048))
+    # ~2k docs (≈5k spans, ~1 s of tagging) per block: the block
+    # count IS the downstream actor-pool's task count (batch_size only
+    # slices within a task), so blocks must outnumber pool actors several
+    # times over — a single wave of block-sized tasks serializes on
+    # whichever actors start first and the stage wall time turns into a
+    # pool-ramp lottery (measured 5.6 s vs 15.5 s on identical inputs at
+    # 25 tasks / 28 actors; ~200 tasks removes the bimodality).
+    n_blocks = max(8, min(total // 2048 + 1, 2048))
     ids = ray.data.range(total, override_num_blocks=n_blocks)
 
     # NOTE: generation runs with num_cpus=0.9 so Ray does NOT fuse it into a
