@@ -44,7 +44,7 @@ sh AS (
 def ops_queries():
     import ray.data
 
-    from hebrew_ner_ray.ops import dedup, multimodal, relational, similarity, windows
+    from hebrew_ner_ray.ops import asof, dedup, multimodal, relational, similarity, windows
 
     def _wrap(fn):
         return lambda sf_dir: fn(sf_dir)
@@ -81,6 +81,8 @@ def ops_queries():
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_sessions": _wrap(windows.events_sessions),
         "events_top_users": _wrap(windows.events_top_users),
+        "events_asof_attribution": _wrap(asof.asof_attribution),
+        "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
         "pricing_summary": _wrap(relational.pricing_summary),
         "media_decode": _wrap(multimodal.media_decode),
@@ -379,6 +381,36 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
 FROM s GROUP BY user_id, sid
+""",
+        # as-of join twin: the rn=1 window formulation states the engine's
+        # tie-break (max r.ts, then max r.event_id) explicitly — DuckDB's
+        # native ASOF JOIN leaves duplicate-ts ties unspecified
+        "events_asof_attribution": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT l.event_id AS event_id, l.user_id AS user_id,
+         r.event_id AS prior_event_id,
+         CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts < l.ts
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(prior_event_id AS BIGINT) AS prior_event_id, lag_us
+FROM pairs WHERE rn = 1
+""",
+        "events_range_count": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       CAST(count(r.ts) AS BIGINT) AS n_window
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts < l.ts
+ AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
+GROUP BY l.event_id, l.user_id
 """,
         "events_top_users": """
 SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -229,3 +229,85 @@ def test_hash_shuffle_one_block_per_partition(ray_session):
         assert int(populated["rows"].iloc[0]) == n_rows
     finally:
         ctx.target_max_block_size = old
+
+
+def _write_events(tmpdir, rows):
+    """Synthetic events.parquet with crafted timestamps (us precision)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+def test_asof_attribution_tiebreak_and_no_prior(ray_session, tmp_path):
+    """Duplicate right-ts ties break to the LARGEST event_id; a left event
+    with no strictly-earlier right event emits nothing; exact-ts right
+    events are excluded (strict <). Brute-force reference in-test."""
+    from hebrew_ner_ray.ops.asof import asof_attribution
+
+    rows = [
+        # user 1: two clicks at the SAME ts=100 (ids 11, 12), purchase at 200
+        (11, 100, 1, "click"), (12, 100, 1, "click"), (20, 200, 1, "purchase"),
+        # user 1: purchase exactly AT a click ts → that click ineligible
+        (13, 300, 1, "click"), (21, 300, 1, "purchase"),
+        # user 2: purchase before any click → no output row
+        (30, 50, 2, "purchase"), (14, 60, 2, "click"),
+        # user 3: normal case, plus a later click that must not match
+        (15, 10, 3, "click"), (31, 40, 3, "purchase"), (16, 99, 3, "click"),
+        # noise of other types
+        (90, 150, 1, "view"), (91, 35, 3, "signup"),
+    ]
+    out = (
+        asof_attribution(_write_events(tmp_path, rows))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "event_id": [20, 21, 31],
+            "user_id": [1, 1, 3],
+            "prior_event_id": [12, 12, 15],  # 12 beats 11 (same ts); 21's
+            # only strictly-earlier clicks are at ts=100 → again id 12
+            "lag_us": [100, 200, 30],
+        }
+    )
+    pd.testing.assert_frame_equal(out, expect)
+
+
+def test_range_join_count_window_boundaries(ray_session, tmp_path):
+    """Window is half-open [l.ts - w, l.ts): the left boundary is
+    included, the exact left ts excluded; zero-count rows are kept."""
+    from hebrew_ner_ray.ops.asof import range_join_count
+
+    w = 100
+    rows = [
+        # user 1 purchase at 1000: views at 900 (= ts-w, IN), 999 (IN),
+        # 1000 (exact ts, OUT), 899 (just outside, OUT)
+        (50, 1000, 1, "purchase"),
+        (60, 900, 1, "view"), (61, 999, 1, "view"),
+        (62, 1000, 1, "view"), (63, 899, 1, "view"),
+        # user 2 purchase with no views at all → count 0 row kept
+        (51, 500, 2, "purchase"),
+        # user 3: views only outside the window
+        (52, 5000, 3, "purchase"), (64, 100, 3, "view"),
+    ]
+    out = (
+        range_join_count(_write_events(tmp_path, rows), window_us=w)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "event_id": [50, 51, 52],
+            "user_id": [1, 2, 3],
+            "n_window": [2, 0, 0],
+        }
+    )
+    pd.testing.assert_frame_equal(out, expect)
