@@ -25,6 +25,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "40"))
 
 
+def _burn(n: int) -> int:
+    # module-level: ProcessPoolExecutor must pickle it by reference
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def host_parallel_efficiency(workers: int = NUM_CPUS) -> float:
     """~2 s probe of the sandbox host's ACTUAL parallel capacity: the
     wall-time ratio of one CPU-burn task vs ``workers`` identical tasks
@@ -34,19 +42,13 @@ def host_parallel_efficiency(workers: int = NUM_CPUS) -> float:
     sandbox). Recorded so BENCH numbers are comparable across rounds."""
     import concurrent.futures as cf
 
-    def burn(n: int) -> int:
-        s = 0
-        for i in range(n):
-            s += i * i
-        return s
-
     n = 5_000_000
     t0 = time.perf_counter()
-    burn(n)
+    _burn(n)
     one = time.perf_counter() - t0
     with cf.ProcessPoolExecutor(workers) as ex:
         t0 = time.perf_counter()
-        list(ex.map(burn, [n] * workers))
+        list(ex.map(_burn, [n] * workers))
         par = time.perf_counter() - t0
     return round(one / par, 3)
 
