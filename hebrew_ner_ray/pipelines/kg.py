@@ -15,8 +15,13 @@ from hebrew_ner_ray.kg.canonical import build_edges, build_nodes
 from hebrew_ner_ray.pipelines.stages import AnnotateBatch, filter_text_spans
 from hebrew_ner_ray.sources.interleaved import flatten_spans, read_interleaved
 
-DEFAULT_BATCH_SIZE = 8192  # spans per annotate dispatch; large enough that
-# per-batch dispatch overhead amortizes, small enough for pool balance
+DEFAULT_BATCH_SIZE = 4096  # spans per annotate dispatch; large enough that
+# per-batch dispatch overhead amortizes, small enough for pool balance.
+# ALSO the actor-pool task-bundling threshold: Ray glues upstream blocks
+# into one task until reaching batch_size rows, so this must stay BELOW
+# the ~7k-span generation block size or the pool's task count halves
+# (measured: 8192 → 50 tasks / 2 waves on 28 actors; 4096 → one block
+# per task, ~99 tasks, wave-imbalance tail gone)
 
 
 def text_spans(sf_dir: str, replicas: int = 1, diversify: bool = False,
