@@ -18,7 +18,7 @@ from hebrew_ner_ray.ops.similarity import (
     TOPK,
 )
 from hebrew_ner_ray.ops.textstats import STOPWORDS
-from hebrew_ner_ray.ops.windows import SESSION_GAP_US, WINDOW_US
+from hebrew_ner_ray.ops.windows import HOP_US, SESSION_GAP_US, WINDOW_US
 
 _BPE_RE = r"[a-z0-9_]+|[^a-z0-9_\s]"
 
@@ -78,7 +78,9 @@ def ops_queries():
         "sim_embedding_pairs_lsh": _wrap(similarity.embedding_pairs_lsh),
         "sim_lsh_recall": _wrap(similarity.lsh_recall),
         "sim_ivf_topk": _wrap(similarity.ivf_topk),
+        "sim_ivf_recall": _wrap(similarity.ivf_recall),
         "events_tumbling": _wrap(windows.events_tumbling),
+        "events_hopping": _wrap(windows.events_hopping),
         "events_sessions": _wrap(windows.events_sessions),
         "events_top_users": _wrap(windows.events_top_users),
         "events_asof_attribution": _wrap(asof.asof_attribution),
@@ -336,6 +338,34 @@ SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_found AS BIGINT) AS n_found,
                  ELSE (n_found * 1000000) // n_exact END AS BIGINT) AS recall_ppm
 FROM n
 """,
+        "sim_ivf_recall": f"""
+WITH {_sql_lsh_buckets("ivf-planes", 1, N_PLANES)},
+q AS (
+  SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe, b.bucket AS qb
+  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+  WHERE e.vec_id < {N_QUERIES}),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.qid AS query_id, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+    FROM q
+    JOIN buckets b ON b.bucket = q.qb
+    JOIN embeddings e ON e.vec_id = b.vec_id AND e.vec_id <> q.qid)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.qid AS query_id, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}),
+n AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM exact e JOIN ivf i
+              ON e.query_id = i.query_id AND e.vec_id = i.vec_id) AS n_found)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_found AS BIGINT) AS n_found,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+                 ELSE (n_found * 1000000) // n_exact END AS BIGINT) AS recall_ppm
+FROM n
+""",
         "sim_ivf_topk": f"""
 WITH {_sql_lsh_buckets("ivf-planes", 1, N_PLANES)},
 q AS (
@@ -360,6 +390,15 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
 FROM events GROUP BY 1, 2
+""",
+        "events_hopping": f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST((epoch_us(ts) // {HOP_US}) * {HOP_US}
+            - k * {HOP_US} AS BIGINT) AS window_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
+FROM events CROSS JOIN (SELECT unnest(range({WINDOW_US // HOP_US})) AS k)
+GROUP BY 1, 2
 """,
         "events_sessions": f"""
 WITH o AS (

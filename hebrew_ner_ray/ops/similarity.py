@@ -408,3 +408,53 @@ def ivf_topk(sf_dir: str):
     # tiny merge (queries x k x blocks rows): one partition — more
     # partitions than queries would just mint empty blocks
     return grouped_exchange(local, ["query_id"], _final_topk, n_partitions=1)
+
+
+def ivf_recall(sf_dir: str):
+    """Measured recall@k of the IVF (bucket-restricted) top-k against the
+    exact brute-force top-k: one row (n_exact, n_found, recall_ppm).
+
+    Unlike the LSH pair case, IVF results are NOT a subset of the exact
+    top-k (a bucket may surface a lower-scoring neighbor), so n_found is
+    the size of the intersection on (query_id, vec_id). Both sides are
+    deterministic with value oracles, so the recall itself gets an exact
+    DuckDB twin. Intersection is a keyed exchange — nothing result-set
+    sized reaches the driver."""
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    def _keys(side):
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "query_id": b["query_id"].astype("int64"),
+                    "vec_id": b["vec_id"].astype("int64"),
+                    "side": np.full(len(b), side, dtype="int64"),
+                }
+            )
+
+        return run
+
+    exact = ann_topk(sf_dir).map_batches(_keys(0), batch_format="pandas")
+    found = ivf_topk(sf_dir).map_batches(_keys(1), batch_format="pandas")
+
+    _CNT = {"n_exact": "int64", "n_found": "int64"}
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CNT)
+        per = g.groupby(["query_id", "vec_id"])["side"].agg(["min", "max"])
+        n_exact = int((per["min"] == 0).sum())
+        n_found = int(((per["min"] == 0) & (per["max"] == 1)).sum())
+        return pd.DataFrame({"n_exact": [n_exact], "n_found": [n_found]}).astype(_CNT)
+
+    partials = bucketed_aggregate(
+        exact.union(found), ["query_id", "vec_id"], count_bucket,
+        coalesce=partitions_for(),
+    ).materialize()
+    sums = partials.sum(["n_exact", "n_found"]) if partials.count() else None
+    n_exact = int(sums["sum(n_exact)"]) if sums else 0
+    n_found = int(sums["sum(n_found)"]) if sums else 0
+    recall_ppm = (n_found * 1_000_000) // n_exact if n_exact else 0
+    return pd.DataFrame(
+        {"n_exact": [n_exact], "n_found": [n_found], "recall_ppm": [recall_ppm]}
+    ).astype("int64")

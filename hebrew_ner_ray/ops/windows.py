@@ -150,6 +150,52 @@ def events_sessions(sf_dir: str):
     return sized_aggregate(partials, ["user_id"], merge)
 
 
+HOP_US = 900 * 1_000_000  # 15-min hop → each event in WINDOW_US/HOP_US = 4 windows
+
+
+def hopping_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Hopping (sliding) window partials: event at t belongs to every
+    window start s ≡ 0 (mod hop) with s ≤ t < s+W — exactly W/hop
+    windows, emitted vectorized by a 4× repeat with hop offsets, then
+    batch-local aggregation (the exchange ships (user, window) partials,
+    ~4× the tumbling volume, never raw events)."""
+    n_wins = WINDOW_US // HOP_US
+    us = _epoch_us(batch["ts"]).to_numpy()
+    base = (us // HOP_US) * HOP_US
+    k = np.tile(np.arange(n_wins, dtype=np.int64), len(us))
+    win = np.repeat(base, n_wins) - k * HOP_US
+    g = (
+        pd.DataFrame({"user_id": np.repeat(batch["user_id"].to_numpy(), n_wins),
+                      "window_us": win,
+                      "value_micro": np.repeat(_micro(batch["value"]), n_wins)})
+        .groupby(["user_id", "window_us"], as_index=False)
+        .agg(n_events=("value_micro", "size"), total_value_micro=("value_micro", "sum"))
+    )
+    return g
+
+
+def events_hopping(sf_dir: str):
+    """Per (user, 1-h window hopping every 15 min) count + value sum —
+    same partial/reduce shape as tumbling, 4× the partial keys."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import partitions_for, sized_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    partials = ds.map_batches(hopping_partials, batch_format="pandas")
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_TUMBLE_COLS)
+        out = g.groupby(["user_id", "window_us"], as_index=False).agg(
+            n_events=("n_events", "sum"), total_value_micro=("total_value_micro", "sum")
+        )
+        return out.astype(_TUMBLE_COLS)
+
+    return sized_aggregate(partials, ["user_id", "window_us"], reduce,
+                           coalesce=partitions_for())
+
+
 def events_top_users(sf_dir: str, k: int = 20):
     """Top-k users by total event value (partial agg → groupby → sort/limit)."""
     import ray.data

@@ -311,3 +311,22 @@ def test_range_join_count_window_boundaries(ray_session, tmp_path):
         }
     )
     pd.testing.assert_frame_equal(out, expect)
+
+
+def test_hopping_partials_window_membership():
+    """Every event lands in exactly WINDOW/HOP windows; each window w
+    satisfies w <= t < w + WINDOW and w % HOP == 0."""
+    from hebrew_ner_ray.ops.windows import HOP_US, WINDOW_US, hopping_partials
+
+    t = 7 * HOP_US + 12345  # arbitrary non-aligned instant
+    batch = pd.DataFrame(
+        {"ts": pd.to_datetime([t], unit="us").astype("datetime64[us]"),
+         "user_id": [1], "value": [2.5]}
+    )
+    out = hopping_partials(batch)
+    assert len(out) == WINDOW_US // HOP_US
+    wins = out["window_us"].to_numpy()
+    assert (wins % HOP_US == 0).all()
+    assert ((wins <= t) & (t < wins + WINDOW_US)).all()
+    assert (out["n_events"] == 1).all()
+    assert (out["total_value_micro"] == 2_500_000).all()
