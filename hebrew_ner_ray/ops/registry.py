@@ -88,7 +88,9 @@ def ops_queries():
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
         "pricing_summary": _wrap(relational.pricing_summary),
         "media_decode": _wrap(multimodal.media_decode),
-        "media_features": _wrap(multimodal.media_features),  # list col → rows-only
+        "media_features": _wrap(multimodal.media_features),  # list col →
+        # rows-only here; the list VALUES are oracle-checked by the
+        # media_feature_components unnest query below
         "media_feature_norms": _wrap(multimodal.media_feature_norms),
         "media_feature_components": _wrap(multimodal.media_feature_components),
         "corpus_curation": _curation,
