@@ -330,3 +330,57 @@ def test_hopping_partials_window_membership():
     assert ((wins <= t) & (t < wins + WINDOW_US)).all()
     assert (out["n_events"] == 1).all()
     assert (out["total_value_micro"] == 2_500_000).all()
+
+
+def test_asof_and_range_randomized_differential(ray_session, tmp_path):
+    """400 seeded random events (30 users, coarse ts grid → plenty of
+    duplicate timestamps) vs O(n²) brute-force references for both the
+    as-of join and the range count."""
+    from hebrew_ner_ray.ops.asof import asof_attribution, range_join_count
+
+    rng = np.random.RandomState(0)
+    n = 400
+    rows = [
+        (i, int(rng.randint(0, 120)) * 10, int(rng.randint(1, 31)),
+         ["purchase", "click", "view", "signup", "error"][rng.randint(0, 5)])
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    purchases = [r for r in rows if r[3] == "purchase"]
+    clicks = [r for r in rows if r[3] == "click"]
+    views = [r for r in rows if r[3] == "view"]
+
+    # brute-force as-of: max (ts, event_id) among same-user clicks with ts < l.ts
+    exp_asof = []
+    for eid, ts, uid, _ in purchases:
+        cands = [(c[1], c[0]) for c in clicks if c[2] == uid and c[1] < ts]
+        if cands:
+            bts, bid = max(cands)
+            exp_asof.append((eid, uid, bid, ts - bts))
+    exp_asof = pd.DataFrame(
+        exp_asof, columns=["event_id", "user_id", "prior_event_id", "lag_us"]
+    ).sort_values("event_id").reset_index(drop=True)
+
+    got_asof = (
+        asof_attribution(sf).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_asof, exp_asof, check_dtype=False)
+
+    # brute-force range count: same-user views in [ts - w, ts)
+    w = 250
+    exp_rng = pd.DataFrame(
+        [
+            (eid, uid,
+             sum(1 for v in views if v[2] == uid and ts - w <= v[1] < ts))
+            for eid, ts, uid, _ in purchases
+        ],
+        columns=["event_id", "user_id", "n_window"],
+    ).sort_values("event_id").reset_index(drop=True)
+
+    got_rng = (
+        range_join_count(sf, window_us=w).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_rng, exp_rng, check_dtype=False)
