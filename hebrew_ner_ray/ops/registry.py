@@ -87,6 +87,7 @@ def ops_queries():
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
         "pricing_summary": _wrap(relational.pricing_summary),
+        "shipping_priority": _wrap(relational.shipping_priority),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -468,6 +469,20 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        "shipping_priority": """
+WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+      JOIN b ON o_custkey = c_custkey
+      WHERE CAST(o_orderdate AS VARCHAR) < '1998-06-15'),
+r AS (SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem WHERE CAST(l_shipdate AS VARCHAR) > '1998-06-15'
+      GROUP BY 1)
+SELECT CAST(o.o_orderkey AS BIGINT) AS l_orderkey, r.revenue_cents,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_orderpriority
+FROM o JOIN r ON o.o_orderkey = r.l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

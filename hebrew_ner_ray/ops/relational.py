@@ -144,3 +144,118 @@ def pricing_summary(sf_dir: str):
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate
 
     return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"), reduce)
+
+
+Q3_CUTOFF = "1998-06-15"
+Q3_SEGMENT = "BUILDING"
+_Q3_COLS = {"l_orderkey": "int64", "revenue_cents": "int64",
+            "o_orderdate": "object", "o_orderpriority": "object"}
+
+
+def shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape — the one big×big join in the relational family:
+
+    - customer is the SMALL side: segment-filtered keys broadcast once
+      (``ray.put`` of a sorted int64 array, searchsorted membership per
+      batch — same idiom as revenue_by_nation's dimension join).
+    - orders⋈lineitem is big×big: lineitem revenue is pre-aggregated per
+      orderkey inside each batch (combiner — the exchange ships order
+      partials, not line items), then ONE keyed exchange on orderkey
+      co-locates order attrs with revenue partials; each partition joins
+      and emits its local top-k, and a single-task merge (≤ k×partitions
+      rows) takes the global top-k (revenue DESC, orderkey ASC —
+      deterministic tie-break stated in the SQL twin).
+    """
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = cust.column("c_mktsegment").to_numpy(zero_copy_only=False)
+    keys_ref = ray.put(np.sort(
+        cust.column("c_custkey").to_numpy()[seg == Q3_SEGMENT]))
+
+    class OrderSide:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["o_orderdate"].astype(str) < Q3_CUTOFF]
+            if len(self.keys) == 0:
+                b = b.iloc[:0]
+            else:
+                ck = b["o_custkey"].to_numpy()
+                pos = np.searchsorted(self.keys, ck)
+                pos[pos == len(self.keys)] = 0
+                b = b[self.keys[pos] == ck]
+            return pd.DataFrame(
+                {
+                    "l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                    "revenue_cents": np.zeros(len(b), dtype=np.int64),
+                    # explicit date-only render (oracle strftime %Y-%m-%d);
+                    # astype(str) would drift to '… 00:00:00' on non-midnight data
+                    "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
+                    "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                    "side": np.zeros(len(b), dtype=np.int64),
+                }
+            )
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].astype(str) > Q3_CUTOFF]
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                          "revenue_cents": rev})
+            .groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        )
+        g["o_orderdate"] = ""
+        g["o_orderpriority"] = ""
+        g["side"] = np.ones(len(g), dtype=np.int64)
+        return g
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(OrderSide, batch_format="pandas", concurrency=default_concurrency())
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_side, batch_format="pandas")
+
+    def local_topk(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q3_COLS)
+        o = part[part["side"] == 0]
+        r = (
+            part[part["side"] == 1]
+            .groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        )
+        m = o.drop(columns=["revenue_cents", "side"]).merge(r, on="l_orderkey")
+        if m.empty:
+            return typed_empty(_Q3_COLS)
+        m = m.sort_values(["revenue_cents", "l_orderkey"],
+                          ascending=[False, True]).head(k)
+        return m[list(_Q3_COLS)].astype(_Q3_COLS)
+
+    partials = bucketed_aggregate(orders.union(lines), ["l_orderkey"],
+                                  local_topk, coalesce=partitions_for())
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q3_COLS)
+        return (
+            g.sort_values(["revenue_cents", "l_orderkey"],
+                          ascending=[False, True]).head(k)
+            .reset_index(drop=True).astype(_Q3_COLS)
+        )
+
+    return small_key_aggregate(partials, final_topk)
