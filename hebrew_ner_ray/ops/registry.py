@@ -17,7 +17,7 @@ from hebrew_ner_ray.ops.similarity import (
     PAIR_TAU,
     TOPK,
 )
-from hebrew_ner_ray.ops.textstats import STOPWORDS
+from hebrew_ner_ray.ops.textstats import KMV_K, STOPWORDS
 from hebrew_ner_ray.ops.windows import HOP_US, SESSION_GAP_US, WINDOW_US
 
 _BPE_RE = r"[a-z0-9_]+|[^a-z0-9_\s]"
@@ -68,6 +68,8 @@ def ops_queries():
         "text_lang_id": _docs_map(textstats.lang_id_batch),
         "text_quality": _docs_map(textstats.quality_batch),
         "text_fingerprint": _docs_map(textstats.fingerprint_batch),
+        "text_distinct_kmv": _wrap(textstats.distinct_tokens_kmv),
+        "corpus_sample_k": _wrap(textstats.corpus_sample_k),
         "dedup_exact": _wrap(dedup.dedup_exact),
         "dedup_jaccard": _wrap(dedup.dedup_jaccard),
         "dedup_minhash": _wrap(dedup.dedup_minhash),
@@ -245,6 +247,25 @@ FROM ag
         "text_fingerprint": r"""
 SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
+""",
+        "text_distinct_kmv": rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+ids AS (SELECT DISTINCT {sql_stable_id('tok')} AS h FROM toks WHERE tok <> ''),
+km AS (SELECT h FROM ids ORDER BY h LIMIT {KMV_K}),
+agg AS (SELECT count(*) AS k_used, COALESCE(max(h), 0) AS kth,
+               (SELECT count(*) FROM ids) AS n_distinct FROM km)
+SELECT CAST(k_used AS BIGINT) AS k_used, CAST(kth AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN n_distinct < {KMV_K} THEN n_distinct
+                 ELSE CAST({KMV_K - 1} AS HUGEINT)
+                      * 1152921504606846976 // kth END AS BIGINT) AS est_distinct
+FROM agg
+""",
+        "corpus_sample_k": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {sql_stable_id("CAST(doc_id AS VARCHAR)")} AS h
+FROM documents ORDER BY h, doc_id LIMIT 100
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash,

@@ -90,3 +90,90 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
             "fingerprint": [hashlib.md5(t.encode()).hexdigest() for t in norm],
         }
     )
+
+
+KMV_K = 256
+_HASH_SPACE = 1 << 60  # stable_id is the top 15 hex digits of md5 → 60 bits
+
+
+def kmv_partial_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch KMV combiner: the KMV_K smallest distinct token hashes in
+    this batch (the sketch's mergeable partial — the exchange ships ≤ K
+    int64s per block, never the token stream)."""
+    from hebrew_ner_ray.kg.ids import stable_ids
+
+    toks: set[str] = set()
+    for t in batch["text"]:
+        toks.update(ws_tokens(t))
+    if not toks:
+        return pd.DataFrame({"h": pd.Series(dtype="int64")})
+    h = np.unique(stable_ids(sorted(toks)))  # unique → already ascending
+    return pd.DataFrame({"h": h[:KMV_K]})
+
+
+def distinct_tokens_kmv(sf_dir: str, k: int = KMV_K):
+    """K-minimum-values distinct-count sketch over the corpus vocabulary.
+
+    Deterministic end-to-end: hashes are the shared 60-bit md5
+    ``stable_id``, so the kth-minimum — and therefore the ESTIMATE
+    itself — is exactly reproducible in SQL (the oracle checks the
+    estimate, not just plumbing). Mergeable partials: each batch ships
+    its k smallest distinct hashes; the final merge sees ≤ k×blocks rows
+    in one small task. If the corpus has fewer than k distinct tokens the
+    sketch is exact (estimate = distinct count).
+
+    Output: one row (k_used, kth_hash, est_distinct)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    partials = ds.map_batches(kmv_partial_batch, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["h"].to_numpy(dtype=np.int64)) if len(g) else np.array([], dtype=np.int64)
+        k_used = int(min(len(h), k))
+        if k_used == 0:
+            return pd.DataFrame({"k_used": [0], "kth_hash": [0], "est_distinct": [0]}).astype("int64")
+        kth = int(h[k_used - 1])  # np.unique output is ascending
+        if len(h) < k:
+            est = len(h)  # sketch saw everything — exact
+        else:
+            est = (k - 1) * _HASH_SPACE // kth  # python ints: no overflow
+        return pd.DataFrame(
+            {"k_used": [k_used], "kth_hash": [kth], "est_distinct": [est]}
+        ).astype("int64")
+
+    return small_key_aggregate(partials, merge)
+
+
+def corpus_sample_k(sf_dir: str, k: int = 100):
+    """Deterministic distributed sample: the k docs with the smallest
+    ``stable_id(doc_id)`` — hash order is a uniform, reproducible,
+    rank-stable shuffle, so the same k docs come back on any cluster
+    shape (ORDER BY hash LIMIT k in SQL). Per-batch local top-k partials
+    → one small merge task (≤ k×blocks rows)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        h = stable_ids([str(d) for d in ids])
+        order = np.argsort(h, kind="stable")[:k]
+        return pd.DataFrame({"doc_id": ids[order], "h": h[order]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "h": pd.Series(dtype="int64")})
+        return (g.sort_values(["h", "doc_id"]).head(k)
+                .reset_index(drop=True).astype("int64"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return small_key_aggregate(partials, merge)

@@ -384,3 +384,31 @@ def test_asof_and_range_randomized_differential(ray_session, tmp_path):
         .sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_rng, exp_rng, check_dtype=False)
+
+
+def test_kmv_estimation_branch(ray_session, tmp_path):
+    """With distinct tokens >> K the sketch must use the kth-min estimator
+    and land near the truth (KMV relative error ~ 1/sqrt(K) ≈ 6% at
+    K=256; assert within 20%). The sf corpora only exercise the exact
+    branch (31 distinct tokens), so this synthesizes a 5000-token
+    vocabulary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import KMV_K, distinct_tokens_kmv
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(5000)]
+    docs = [" ".join(rng.choice(vocab, 40)) for _ in range(500)]
+    true_distinct = len({t for d in docs for t in d.split()})
+    assert true_distinct > 4 * KMV_K  # really in the estimator regime
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)}),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = distinct_tokens_kmv(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert int(out["k_used"][0]) == KMV_K
+    est = int(out["est_distinct"][0])
+    assert abs(est - true_distinct) / true_distinct < 0.20, (est, true_distinct)
