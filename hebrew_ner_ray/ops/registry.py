@@ -85,6 +85,7 @@ def ops_queries():
         "events_hopping": _wrap(windows.events_hopping),
         "events_sessions": _wrap(windows.events_sessions),
         "events_top_users": _wrap(windows.events_top_users),
+        "events_top_per_user": _wrap(windows.events_top_per_user),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -474,6 +475,16 @@ FROM l LEFT JOIN r
  AND r.ts < l.ts
  AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
 GROUP BY l.event_id, l.user_id
+""",
+        "events_top_per_user": """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(rn AS BIGINT) AS rank,
+       CAST(event_id AS BIGINT) AS event_id, value_micro
+FROM (SELECT user_id, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS value_micro,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY floor(value * 1000000) DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
 """,
         "events_top_users": """
 SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -224,3 +224,49 @@ def events_top_users(sf_dir: str, k: int = 20):
     agg = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
                           ["user_id"], reduce, coalesce=partitions_for())
     return agg.sort(["total_value_micro", "user_id"], descending=[True, False]).limit(k)
+
+
+_TOPPER_COLS = {"user_id": "int64", "rank": "int64", "event_id": "int64",
+                "value_micro": "int64"}
+
+
+def events_top_per_user(sf_dir: str, k: int = 3):
+    """Group-wise top-k: each user's k highest-value events (the QUALIFY
+    row_number() idiom). The per-batch combiner keeps only each user's
+    local top-k (the exchange ships ≤ k rows per (user, block), never the
+    event stream), then one keyed exchange finishes the rank per complete
+    user. Ties break on value DESC, then event_id ASC — deterministic and
+    stated identically in the SQL twin."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+
+    def topk(b: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "value_micro", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        rank = b.groupby("user_id", sort=False).cumcount() + 1
+        b = b[rank <= k]
+        if with_rank:
+            b = b.assign(rank=rank[rank <= k].to_numpy())
+            return b[list(_TOPPER_COLS)].astype(_TOPPER_COLS)
+        return b
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return topk(
+            pd.DataFrame({"event_id": b["event_id"].to_numpy(dtype=np.int64),
+                          "user_id": b["user_id"].to_numpy(dtype=np.int64),
+                          "value_micro": _micro(b["value"])}),
+            with_rank=False,
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_TOPPER_COLS)
+        return topk(g, with_rank=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_aggregate(partials, ["user_id"], reduce,
+                              coalesce=partitions_for())
