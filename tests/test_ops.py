@@ -412,3 +412,28 @@ def test_kmv_estimation_branch(ray_session, tmp_path):
     assert int(out["k_used"][0]) == KMV_K
     est = int(out["est_distinct"][0])
     assert abs(est - true_distinct) / true_distinct < 0.20, (est, true_distinct)
+
+
+def test_asof_hot_user_skew(ray_session, tmp_path):
+    """80% of events on ONE user: complete-key partitioning puts the hot
+    user in a single partition and the vectorized merge_asof kernel must
+    still be exact (the skew bound documented in ops/asof.py)."""
+    from hebrew_ner_ray.ops.asof import asof_attribution
+
+    rows = []
+    eid = 0
+    for i in range(400):  # hot user 1: alternating click / purchase
+        rows.append((eid, i * 10, 1, "click" if i % 2 == 0 else "purchase"))
+        eid += 1
+    for u in range(2, 12):  # 10 cold users, one pair each
+        rows.append((eid, 5, u, "click")); eid += 1
+        rows.append((eid, 6, u, "purchase")); eid += 1
+    out = asof_attribution(_write_events(tmp_path, rows)).to_pandas()
+    hot = out[out["user_id"] == 1]
+    # every hot purchase (odd i) matches the click immediately before it
+    assert len(hot) == 200
+    assert (hot["lag_us"] == 10).all()
+    assert (hot.sort_values("event_id")["prior_event_id"].to_numpy()
+            == hot.sort_values("event_id")["event_id"].to_numpy() - 1).all()
+    cold = out[out["user_id"] > 1]
+    assert len(cold) == 10 and (cold["lag_us"] == 1).all()
