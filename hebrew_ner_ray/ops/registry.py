@@ -70,6 +70,7 @@ def ops_queries():
         "text_fingerprint": _docs_map(textstats.fingerprint_batch),
         "text_distinct_kmv": _wrap(textstats.distinct_tokens_kmv),
         "corpus_sample_k": _wrap(textstats.corpus_sample_k),
+        "corpus_sample_stratified": _wrap(textstats.corpus_sample_stratified),
         "dedup_exact": _wrap(dedup.dedup_exact),
         "dedup_jaccard": _wrap(dedup.dedup_jaccard),
         "dedup_minhash": _wrap(dedup.dedup_minhash),
@@ -267,6 +268,15 @@ FROM agg
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {sql_stable_id("CAST(doc_id AS VARCHAR)")} AS h
 FROM documents ORDER BY h, doc_id LIMIT 100
+""",
+        "corpus_sample_stratified": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(h AS BIGINT) AS h
+FROM (SELECT doc_id, lang,
+             {sql_stable_id("CAST(doc_id AS VARCHAR)")} AS h,
+             row_number() OVER (PARTITION BY lang ORDER BY
+                                {sql_stable_id("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+      FROM documents)
+WHERE rn <= 20
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash,

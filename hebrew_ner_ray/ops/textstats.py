@@ -177,3 +177,40 @@ def corpus_sample_k(sf_dir: str, k: int = 100):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return small_key_aggregate(partials, merge)
+
+
+def corpus_sample_stratified(sf_dir: str, k: int = 20):
+    """Stratified deterministic sample: the k smallest-hash docs PER
+    ``lang`` stratum (row_number-over-partition in SQL). Same combiner
+    discipline as :func:`corpus_sample_k` — each batch keeps at most k
+    rows per stratum it sees, one small merge task finishes the ranks."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        rank = b.groupby("lang", sort=False).cumcount() + 1
+        return b[rank <= k]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        return topk(pd.DataFrame({
+            "doc_id": ids,
+            "lang": b["lang"].to_numpy(),
+            "h": stable_ids([str(d) for d in ids]),
+        }))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "lang": pd.Series(dtype="object"),
+                                 "h": pd.Series(dtype="int64")})
+        out = topk(g).reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "h": "int64"})
+
+    return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"), merge)

@@ -437,3 +437,38 @@ def test_asof_hot_user_skew(ray_session, tmp_path):
             == hot.sort_values("event_id")["event_id"].to_numpy() - 1).all()
     cold = out[out["user_id"] > 1]
     assert len(cold) == 10 and (cold["lag_us"] == 1).all()
+
+
+def test_corpus_sample_stratified_matches_pandas(ray_session, tmp_path):
+    """Stratified sample = k smallest stable-id hashes PER lang stratum,
+    independent of batching: compare against a single-frame pandas
+    computation on a corpus with skewed stratum sizes (one lang has
+    fewer than k docs — that stratum returns all of its rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.textstats import corpus_sample_stratified
+
+    langs = (["he"] * 400) + (["en"] * 100) + (["ar"] * 3)
+    ids = list(range(len(langs)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "lang": pa.array(langs)}),
+        f"{tmp_path}/documents.parquet",
+    )
+    k = 20
+    exp = pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "lang": langs,
+        "h": stable_ids([str(i) for i in ids]),
+    })
+    exp = exp.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+    exp = exp[exp.groupby("lang", sort=False).cumcount() < k]
+    exp = exp.reset_index(drop=True)
+
+    got = (corpus_sample_stratified(str(tmp_path), k=k).to_pandas()
+           .sort_values(["lang", "h", "doc_id"], kind="mergesort")
+           .reset_index(drop=True))
+    assert (got["lang"] == "ar").sum() == 3  # under-full stratum kept whole
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
