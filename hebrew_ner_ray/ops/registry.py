@@ -92,6 +92,9 @@ def ops_queries():
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
         "pricing_summary": _wrap(relational.pricing_summary),
         "shipping_priority": _wrap(relational.shipping_priority),
+        "order_priority_semi": _wrap(relational.order_priority_semi),
+        "customers_no_orders": _wrap(relational.customers_no_orders),
+        "token_quantiles": _wrap(textstats.token_quantiles),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -537,6 +540,44 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+        "order_priority_semi": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+  AND strftime(o_orderdate, '%Y-%m-%d') < '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "customers_no_orders": """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 0.0
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND strftime(o.o_orderdate, '%Y-%m-%d') >= '2000-06-01')
+GROUP BY n.n_name
+""",
+        # quantile semantics pinned in window form (NOT an engine builtin):
+        # q-quantile = smallest value whose 1-based rank reaches ceil(q*N)
+        "token_quantiles": r"""
+WITH h AS (
+  SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+),
+r AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_docs
+  FROM h
+)
+SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN rk >= ceil(0.50 * n_docs) THEN n END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
+FROM r GROUP BY lang
 """,
     }
     oracles["corpus_curation"] = _sql_curation()

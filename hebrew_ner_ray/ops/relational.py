@@ -259,3 +259,171 @@ def shipping_priority(sf_dir: str, k: int = 10):
         )
 
     return small_key_aggregate(partials, final_topk)
+
+
+Q4_LO, Q4_HI = "1997-01-01", "1997-07-01"
+_Q4_COLS = {"o_orderpriority": "object", "order_count": "int64"}
+
+
+def order_priority_semi(sf_dir: str):
+    """TPC-H Q4 shape — the distributed big×big SEMI-join: count orders
+    per priority (in a date window) that have AT LEAST ONE returned
+    lineitem (``EXISTS``, l_returnflag='R').
+
+    Shape: both sides are corpus-sized, so neither broadcasts. The
+    lineitem side is shrunk by a per-batch DISTINCT-orderkey combiner
+    (the exchange ships qualifying keys once per (key, block), not one
+    row per lineitem); ONE keyed exchange on orderkey co-locates each
+    order with its qualifying-key evidence; each partition emits partial
+    priority counts (≤ priorities × partitions rows) and a single small
+    reduce finishes. The reference has no joins at all — this is the
+    engine-native idiom the KG edge semi-join (J6) generalizes to.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+        b = b[(d >= Q4_LO) & (d < Q4_HI)]
+        return pd.DataFrame({
+            "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(
+            b.loc[b["l_returnflag"] == "R", "l_orderkey"].to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame({
+            "orderkey": keys,
+            "o_orderpriority": np.full(len(keys), "", dtype=object),
+            "side": np.ones(len(keys), dtype=np.int64),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_side, batch_format="pandas")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(line_side, batch_format="pandas")
+
+    def semi_count(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q4_COLS)
+        have = part.loc[part["side"] == 1, "orderkey"].to_numpy()
+        o = part[part["side"] == 0]
+        o = o[np.isin(o["orderkey"].to_numpy(), have)]
+        if o.empty:
+            return typed_empty(_Q4_COLS)
+        g = o.groupby("o_orderpriority", as_index=False).agg(
+            order_count=("orderkey", "size"))
+        return g.astype(_Q4_COLS)
+
+    partials = bucketed_aggregate(orders.union(lines), ["orderkey"],
+                                  semi_count, coalesce=partitions_for())
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q4_COLS)
+        return (g.groupby("o_orderpriority", as_index=False)["order_count"]
+                .sum().astype(_Q4_COLS))
+
+    return small_key_aggregate(partials, reduce)
+
+
+Q22_CUTOFF = "2000-06-01"
+_Q22_COLS = {"n_name": "object", "n_customers": "int64", "acctbal_cents": "int64"}
+
+
+def customers_no_orders(sf_dir: str):
+    """TPC-H Q22 shape — the distributed ANTI-join: per nation, the count
+    and total balance (integer cents) of positive-balance DORMANT
+    customers — no order since ``Q22_CUTOFF`` (``NOT EXISTS`` with a
+    pushed-down date predicate, so evidence rows exist on both arms).
+
+    Same exchange plan as the semi-join, inverted at the partition: the
+    orders side ships per-batch DISTINCT custkeys (combiner), ONE keyed
+    exchange on custkey, and each partition KEEPS the customers whose key
+    has no evidence row. The nation dimension (25 rows) never enters the
+    exchange — names are mapped after the final reduce on the driver-side
+    small result.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _PART = {"nationkey": "int64", "n_customers": "int64", "acctbal_cents": "int64"}
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_acctbal"] > 0.0]
+        return pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+            "nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "acctbal_cents": np.floor(b["c_acctbal"].to_numpy() * 100).astype(np.int64),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+        keys = np.unique(
+            b.loc[d >= Q22_CUTOFF, "o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "custkey": keys,
+            "nationkey": np.zeros(len(keys), dtype=np.int64),
+            "acctbal_cents": np.zeros(len(keys), dtype=np.int64),
+            "side": np.ones(len(keys), dtype=np.int64),
+        })
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cust_side, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pandas")
+
+    def anti_agg(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_PART)
+        have = part.loc[part["side"] == 1, "custkey"].to_numpy()
+        c = part[part["side"] == 0]
+        c = c[~np.isin(c["custkey"].to_numpy(), have)]
+        if c.empty:
+            return typed_empty(_PART)
+        g = c.groupby("nationkey", as_index=False).agg(
+            n_customers=("custkey", "size"),
+            acctbal_cents=("acctbal_cents", "sum"))
+        return g.astype(_PART)
+
+    partials = bucketed_aggregate(cust.union(orders), ["custkey"],
+                                  anti_agg, coalesce=partitions_for())
+
+    names = dict(zip(
+        *(pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+          .to_pandas().T.values.tolist())
+    ))
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q22_COLS)
+        out = g.groupby("nationkey", as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            acctbal_cents=("acctbal_cents", "sum"))
+        out["n_name"] = out["nationkey"].map(names)
+        return out[list(_Q22_COLS)].astype(_Q22_COLS)
+
+    return small_key_aggregate(partials, reduce)

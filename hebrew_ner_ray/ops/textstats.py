@@ -214,3 +214,68 @@ def corpus_sample_stratified(sf_dir: str, k: int = 20):
         return out.astype({"doc_id": "int64", "h": "int64"})
 
     return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"), merge)
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+_QT_COLS = {"lang": "object", "n_docs": "int64",
+            "p50": "int64", "p90": "int64", "p99": "int64"}
+
+
+def token_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of whitespace token count
+    per ``lang``) via value histograms — no sort, no sampling, no sketch
+    error.
+
+    The trick that makes exact quantiles cheap at 100 TB: the VALUE
+    domain (distinct token counts per lang) is tiny even when the corpus
+    is not, so each batch emits a (lang, n_tokens) → count histogram
+    partial (combiner), one keyed exchange merges histograms (rows ≈
+    langs × distinct counts, corpus-size-independent), and a single
+    small task takes per-lang cumulative sums. Quantile semantics are
+    pinned explicitly (not delegated to an engine builtin): q-quantile =
+    the smallest value whose running count reaches ``ceil(q · N)`` —
+    stated identically in the SQL twin's window form.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, small_key_aggregate, typed_empty
+
+    _HIST = {"lang": "object", "n": "int64", "cnt": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "n": b["text"].str.count(r"\S+").to_numpy(dtype=np.int64),
+        }).groupby(["lang", "n"], as_index=False).size().rename(columns={"size": "cnt"})
+        return g.astype(_HIST)
+
+    def merge_hist(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_HIST)
+        return (g.groupby(["lang", "n"], as_index=False)["cnt"].sum()
+                .astype(_HIST))
+
+    hist = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                           ["lang", "n"], merge_hist)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_QT_COLS)
+        g = (g.groupby(["lang", "n"], as_index=False)["cnt"].sum()
+             .sort_values(["lang", "n"], kind="mergesort"))
+        out = []
+        for lang, h in g.groupby("lang", sort=False):
+            cum = h["cnt"].cumsum().to_numpy()
+            n_docs = int(cum[-1])
+            vals = h["n"].to_numpy()
+            row = {"lang": lang, "n_docs": n_docs}
+            for q, name in zip(QUANTILES, ("p50", "p90", "p99")):
+                need = int(np.ceil(q * n_docs))
+                row[name] = int(vals[np.searchsorted(cum, need)])
+            out.append(row)
+        return pd.DataFrame(out)[list(_QT_COLS)].astype(_QT_COLS)
+
+    return small_key_aggregate(hist, finalize)

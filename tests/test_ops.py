@@ -472,3 +472,107 @@ def test_corpus_sample_stratified_matches_pandas(ray_session, tmp_path):
            .reset_index(drop=True))
     assert (got["lang"] == "ar").sum() == 3  # under-full stratum kept whole
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _write(tmp_path, name, **cols):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(cols), f"{tmp_path}/{name}.parquet")
+
+
+def test_order_priority_semi_matches_pandas(ray_session, tmp_path):
+    """Semi-join correctness on a corpus with every edge case: orders
+    with no lineitems, lineitems with no 'R' flag, orders outside the
+    date window, and a hot order with many qualifying lineitems (counted
+    once — EXISTS semantics, not join multiplicity)."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.relational import Q4_HI, Q4_LO, order_priority_semi
+
+    rng = np.random.RandomState(11)
+    n = 400
+    dates = pd.to_datetime("1996-06-01") + pd.to_timedelta(
+        rng.randint(0, 700, n), unit="D")
+    prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], n)
+    _write(tmp_path, "orders",
+           o_orderkey=pa.array(range(n), pa.int64()),
+           o_orderdate=pa.array(dates),
+           o_orderpriority=pa.array(prio))
+    # ~60% of orders get lineitems; flags random; order 7 gets 50 'R' rows
+    lkeys = list(rng.choice(n, 600)) + [7] * 50
+    flags = list(rng.choice(["R", "A", "N"], 600)) + ["R"] * 50
+    _write(tmp_path, "lineitem",
+           l_orderkey=pa.array(lkeys, pa.int64()),
+           l_returnflag=pa.array(flags))
+
+    d = pd.Series(dates).dt.strftime("%Y-%m-%d")
+    qualifying = {k for k, f in zip(lkeys, flags) if f == "R"}
+    mask = (d >= Q4_LO) & (d < Q4_HI) & pd.Series(range(n)).isin(qualifying)
+    exp = (pd.DataFrame({"o_orderpriority": prio[mask.to_numpy()]})
+           .groupby("o_orderpriority", as_index=False).size()
+           .rename(columns={"size": "order_count"}))
+    assert exp["order_count"].sum() > 0  # non-degenerate fixture
+
+    got = (order_priority_semi(str(tmp_path)).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("o_orderpriority").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_customers_no_orders_anti_join(ray_session, tmp_path):
+    """Anti-join: dormant = no order on/after Q22_CUTOFF. Covers customers
+    with NO orders at all, only-old orders (dormant), recent orders
+    (excluded), and the non-positive-balance filter."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.relational import Q22_CUTOFF, customers_no_orders
+
+    _write(tmp_path, "nation",
+           n_nationkey=pa.array([0, 1], pa.int32()),
+           n_name=pa.array(["ALPHA", "BETA"]))
+    # cust 0: no orders (dormant); 1: old order only (dormant);
+    # 2: recent order (active); 3: negative balance (filtered out);
+    # 4: old+recent orders (active)
+    _write(tmp_path, "customer",
+           c_custkey=pa.array([0, 1, 2, 3, 4], pa.int64()),
+           c_nationkey=pa.array([0, 0, 1, 0, 1], pa.int32()),
+           c_acctbal=pa.array([10.01, 20.02, 30.0, -5.0, 40.0]))
+    _write(tmp_path, "orders",
+           o_custkey=pa.array([1, 2, 4, 4], pa.int64()),
+           o_orderdate=pa.array(pd.to_datetime(
+               ["1999-01-01", "2000-07-01", "1998-05-05", "2001-01-01"])))
+    assert Q22_CUTOFF == "2000-06-01"
+
+    got = (customers_no_orders(str(tmp_path)).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    exp = pd.DataFrame({"n_name": ["ALPHA"], "n_customers": [2],
+                        "acctbal_cents": [1001 + 2002]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_token_quantiles_exact(ray_session, tmp_path):
+    """Exact-quantile semantics (smallest value with 1-based rank >=
+    ceil(q*N)) on a known distribution, including a one-doc stratum where
+    every percentile is that doc's count."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.textstats import token_quantiles
+
+    # lang 'a': token counts 1..100 exactly once each
+    texts = [" ".join(["w"] * i) for i in range(1, 101)]
+    langs = ["a"] * 100
+    texts.append("only three tokens")
+    langs.append("b")
+    _write(tmp_path, "documents",
+           doc_id=pa.array(range(len(texts)), pa.int64()),
+           text=pa.array(texts), lang=pa.array(langs))
+
+    got = (token_quantiles(str(tmp_path)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "lang": ["a", "b"], "n_docs": [100, 1],
+        "p50": [50, 3], "p90": [90, 3], "p99": [99, 3],
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
