@@ -95,6 +95,7 @@ def ops_queries():
         "order_priority_semi": _wrap(relational.order_priority_semi),
         "customers_no_orders": _wrap(relational.customers_no_orders),
         "token_quantiles": _wrap(textstats.token_quantiles),
+        "tfidf_topk": _wrap(textstats.tfidf_topk),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -578,6 +579,30 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # integer-exact tf-idf: score_ppm = tf * floor(ln(N/df)*1e6);
+        # ties break token-ascending — same window stated in the engine
+        "tfidf_topk": r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tk GROUP BY doc_id, token),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tk GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000) AS BIGINT)
+           AS score_ppm
+  FROM tf JOIN df USING (token), n
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS rk FROM sc)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, score_ppm,
+       CAST(rk AS BIGINT) AS rnk
+FROM r WHERE rk <= 5
 """,
     }
     oracles["corpus_curation"] = _sql_curation()

@@ -279,3 +279,161 @@ def token_quantiles(sf_dir: str):
         return pd.DataFrame(out)[list(_QT_COLS)].astype(_QT_COLS)
 
     return small_key_aggregate(hist, finalize)
+
+
+TFIDF_K = 5
+_TFIDF_COLS = {"doc_id": "int64", "token": "object", "tf": "int64",
+               "df": "int64", "score_ppm": "int64", "rnk": "int64"}
+_TF_ROWS = {"doc_id": "int64", "token": "object", "tf": "int64"}
+
+
+def _tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (doc_id, token, tf) — complete per doc, since a doc's
+    text lives in one row and map tasks never split a row."""
+    toks = b["text"].str.lower().str.findall(r"\S+")
+    e = pd.DataFrame({"doc_id": b["doc_id"], "token": toks}).explode("token")
+    e = e[e["token"].notna()]
+    if e.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _TF_ROWS.items()})
+    g = e.groupby(["doc_id", "token"], as_index=False).size().rename(
+        columns={"size": "tf"})
+    return g.astype(_TF_ROWS)
+
+
+def _idf_ppm(n_docs: int, dfs: np.ndarray) -> np.ndarray:
+    """floor(ln(N/df)·1e6) computed with math.log per DISTINCT df value —
+    C libm, the same code path DuckDB's ln() takes, so the integer is
+    reproducible cross-engine (numpy's SIMD log can differ by an ulp)."""
+    import math
+
+    uniq = np.unique(dfs)
+    lut = {int(d): int(math.floor(math.log(n_docs / d) * 1_000_000)) for d in uniq}
+    return np.array([lut[int(d)] for d in dfs], dtype=np.int64)
+
+
+def _topk_per_doc(sc: pd.DataFrame, k: int) -> pd.DataFrame:
+    sc = sc.sort_values(["doc_id", "score_ppm", "token"],
+                        ascending=[True, False, True], kind="mergesort")
+    sc["rnk"] = sc.groupby("doc_id", sort=False).cumcount() + 1
+    return sc[sc["rnk"] <= k][list(_TFIDF_COLS)].astype(_TFIDF_COLS)
+
+
+def tfidf_topk(sf_dir: str, k: int = TFIDF_K, broadcast_vocab_limit: int = 2_000_000):
+    """Top-k TF-IDF terms per document — the two-pass global-statistic
+    pattern every curation pipeline needs (a per-doc score that depends
+    on a corpus-wide table).
+
+    Pass A computes document frequencies with a per-batch
+    distinct-doc combiner (the exchange ships (token, df_partial), not
+    postings). Pass B is size-aware:
+
+    - vocab ≤ ``broadcast_vocab_limit``: the df table is ``ray.put``
+      ONCE and every task scores + takes its docs' top-k locally — one
+      corpus pass, zero further exchange (docs are batch-local).
+    - larger vocab: no broadcast — tf rows and df rows meet in a keyed
+      exchange on token, then one grouped exchange on doc_id takes the
+      top-k. Two exchanges, nothing corpus-cardinality on any driver.
+
+    Scoring is integer-exact: score_ppm = tf · floor(ln(N/df)·1e6); ties
+    break token-ascending (stated identically in the SQL twin's window).
+    """
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        grouped_exchange,
+        partitions_for,
+        sized_aggregate,
+        typed_empty,
+    )
+
+    _DF = {"token": "object", "df": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+")
+        e = pd.DataFrame({"doc_id": b["doc_id"], "token": toks}).explode("token")
+        e = e[e["token"].notna()].drop_duplicates(["doc_id", "token"])
+        if e.empty:
+            return typed_empty(_DF)
+        g = e.groupby("token", as_index=False).size().rename(columns={"size": "df"})
+        return g.astype(_DF)
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_DF)
+        return g.groupby("token", as_index=False)["df"].sum().astype(_DF)
+
+    df_ds = sized_aggregate(ds.map_batches(df_partial, batch_format="pandas"),
+                            ["token"], df_merge).materialize()
+    vocab = df_ds.count()
+
+    if vocab <= broadcast_vocab_limit:
+        df_pd = df_ds.to_pandas()
+        df_ref = ray.put(dict(zip(df_pd["token"], df_pd["df"].astype(np.int64))))
+
+        class ScoreTopK:
+            def __init__(self):
+                self.df = ray.get(df_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                tf = _tf_rows(b)
+                if tf.empty:
+                    return typed_empty(_TFIDF_COLS)
+                tf["df"] = tf["token"].map(self.df).astype(np.int64)
+                tf["score_ppm"] = (tf["tf"].to_numpy()
+                                   * _idf_ppm(n_docs, tf["df"].to_numpy()))
+                return _topk_per_doc(tf, k)
+
+        from hebrew_ner_ray.runtime import default_concurrency
+
+        return ds.map_batches(ScoreTopK, batch_format="pandas",
+                              concurrency=default_concurrency())
+
+    # exchange arm: tf and df meet on token, then top-k per doc
+    tf_rows = ds.map_batches(_tf_rows, batch_format="pandas")
+
+    def tf_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["df"] = np.int64(0)
+        b["side"] = np.int64(0)
+        return b
+
+    def df_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.zeros(len(b), dtype=np.int64),
+            "token": b["token"].to_numpy(),
+            "tf": np.zeros(len(b), dtype=np.int64),
+            "df": b["df"].to_numpy(dtype=np.int64),
+            "side": np.ones(len(b), dtype=np.int64),
+        })
+
+    _SC = {"doc_id": "int64", "token": "object", "tf": "int64",
+           "df": "int64", "score_ppm": "int64"}
+
+    def attach_df(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_SC)
+        dfs = part[part["side"] == 1][["token", "df"]]
+        t = part[part["side"] == 0].drop(columns=["df", "side"])
+        m = t.merge(dfs, on="token", how="inner")
+        if m.empty:
+            return typed_empty(_SC)
+        m["score_ppm"] = m["tf"].to_numpy() * _idf_ppm(n_docs, m["df"].to_numpy())
+        return m[list(_SC)].astype(_SC)
+
+    scored = bucketed_aggregate(
+        tf_rows.map_batches(tf_side, batch_format="pandas")
+        .union(df_ds.map_batches(df_side, batch_format="pandas")),
+        ["token"], attach_df, coalesce=partitions_for())
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_TFIDF_COLS)
+        return _topk_per_doc(g, k)
+
+    return grouped_exchange(scored, ["doc_id"], doc_topk)

@@ -576,3 +576,29 @@ def test_token_quantiles_exact(ray_session, tmp_path):
         "p50": [50, 3], "p90": [90, 3], "p99": [99, 3],
     })
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tfidf_exchange_arm_equals_broadcast(ray_session, tmp_path):
+    """The large-vocab arm (token-keyed exchange join + doc-keyed top-k,
+    forced with broadcast_vocab_limit=0) must emit exactly the broadcast
+    arm's rows — including ubiquitous tokens (df=N → score 0, ranked by
+    token) and tie-breaks."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.textstats import tfidf_topk
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = ["common " + " ".join(rng.choice(vocab, rng.randint(3, 30)))
+             for _ in range(120)]
+    _write(tmp_path, "documents",
+           doc_id=pa.array(range(len(texts)), pa.int64()),
+           text=pa.array(texts))
+
+    key = ["doc_id", "rnk"]
+    bc = (tfidf_topk(str(tmp_path)).to_pandas()
+          .sort_values(key).reset_index(drop=True))
+    ex = (tfidf_topk(str(tmp_path), broadcast_vocab_limit=0).to_pandas()
+          .sort_values(key).reset_index(drop=True))
+    assert len(bc) > 0 and (bc["df"] == len(texts)).any()  # 'common' present
+    pd.testing.assert_frame_equal(ex, bc[list(ex.columns)], check_dtype=False)
