@@ -145,6 +145,9 @@ def run_benchmarks() -> dict:
     from hebrew_ner_ray.ops.relational import pricing_summary
     timed("pricing_summary", lambda: pricing_summary(SF_DIR).count())
 
+    from hebrew_ner_ray.ops.textstats import tfidf_topk
+    timed("tfidf_topk", lambda: tfidf_topk(SF_DIR).count())
+
     ray.shutdown()
 
     headline = timings["kg_build"]
