@@ -54,8 +54,12 @@ def curated_docs(sf_dir: str, broadcast_loser_limit: int = BROADCAST_LOSER_LIMIT
         .materialize()
     )
     n_losers = losers.count()
+    from hebrew_ner_ray.ops.shuffle import to_pandas_typed
+
+    # to_pandas_typed: zero losers (nothing near-duplicated) must give the
+    # typed empty set, not a column-less frame (KeyError on "doc_id")
     losers_ref = (
-        ray.put(set(losers.to_pandas()["doc_id"].astype(int)))
+        ray.put(set(to_pandas_typed(losers, {"doc_id": "int64"})["doc_id"].astype(int)))
         if n_losers <= broadcast_loser_limit
         else None
     )

@@ -285,7 +285,11 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5,
     if pairs.count() > driver_pair_limit:
         return _clusters_label_propagation(pairs)
 
-    pdf = pairs.to_pandas()
+    from hebrew_ner_ray.ops.shuffle import to_pandas_typed
+
+    # to_pandas_typed: a ZERO-pair corpus (nothing near-duplicated) must
+    # yield the typed empty, not a column-less frame (KeyError on "a")
+    pdf = to_pandas_typed(pairs, {"a": "int64", "b": "int64"})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -220,3 +220,25 @@ def small_key_aggregate(partials, agg: Callable[[pd.DataFrame], pd.DataFrame]):
     return partials.repartition(1).map_batches(
         agg, batch_format="pandas", batch_size=None
     )
+
+
+def to_pandas_typed(ds, cols: dict[str, str]) -> pd.DataFrame:
+    """``Dataset.to_pandas()`` with the all-empty degenerate case made
+    schema-stable.
+
+    MEASURED Ray 2.49 limitation (pinned by
+    tests/test_ops.py::test_empty_dataset_to_pandas_is_schemaless): an
+    empty Dataset converts to a COLUMN-LESS frame no matter how its
+    blocks were typed — pandas typed empties, Arrow empty tables, unions
+    of either; Ray also skips empty blocks in ``map_batches``, so no UDF
+    can repair it downstream. Every in-pipeline stage in this engine
+    keeps schema-stable typed empties (``typed_empty``), but the final
+    Dataset→pandas hop is outside library control. Consumers that must
+    hand a typed relation to a caller (serving, jobs manifests) convert
+    through this helper: a legitimately-zero-row answer (e.g. an
+    anti-join where every key matched) comes back as the declared typed
+    empty instead of a shapeless frame."""
+    df = ds.to_pandas()
+    if df.empty and len(df.columns) == 0:
+        return typed_empty(cols)
+    return df[list(cols)].astype(cols)

@@ -602,3 +602,54 @@ def test_tfidf_exchange_arm_equals_broadcast(ray_session, tmp_path):
           .sort_values(key).reset_index(drop=True))
     assert len(bc) > 0 and (bc["df"] == len(texts)).any()  # 'common' present
     pd.testing.assert_frame_equal(ex, bc[list(ex.columns)], check_dtype=False)
+
+
+def test_empty_dataset_to_pandas_is_schemaless_and_helper_repairs(ray_session):
+    """CANARY for a measured Ray 2.49 limitation: an empty Dataset loses
+    ALL column information through to_pandas() — pandas typed empties and
+    Arrow empty tables alike. If this ever starts failing, Ray fixed it
+    and ops/shuffle.to_pandas_typed can be retired. The helper must hand
+    back the declared typed empty either way."""
+    import pyarrow as pa
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import to_pandas_typed, typed_empty
+
+    cols = {"a": "int64", "b": "object"}
+    pandas_ds = ray.data.from_pandas(typed_empty(cols))
+    arrow_ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.string())}))
+    for ds in (pandas_ds, arrow_ds, pandas_ds.union(arrow_ds)):
+        assert list(ds.to_pandas().columns) == []  # the canary
+        fixed = to_pandas_typed(ds, cols)
+        assert list(fixed.columns) == ["a", "b"] and len(fixed) == 0
+        assert fixed["a"].dtype.kind == "i"
+
+    # non-empty path: column order + dtypes normalized, values untouched
+    full = ray.data.from_pandas(pd.DataFrame({"b": ["x"], "a": [3]}))
+    out = to_pandas_typed(full, cols)
+    assert list(out.columns) == ["a", "b"] and out["a"][0] == 3
+
+
+def test_dedup_and_curation_zero_pair_corpus(ray_session, tmp_path):
+    """A corpus with NO near-duplicates at all (every doc a distinct long
+    string) must flow through dedup_clusters (empty typed result) and
+    corpus_curation (all docs canonical) — the zero-pair path previously
+    hit Ray's column-less empty to_pandas and raised KeyError."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.curation import curated_docs
+    from hebrew_ner_ray.ops.dedup import dedup_clusters
+
+    rng = np.random.RandomState(5)
+    vocab = [f"uniq{i}" for i in range(3000)]
+    texts = [" ".join(rng.choice(vocab, 25, replace=False)) for _ in range(60)]
+    _write(tmp_path, "documents",
+           doc_id=pa.array(range(len(texts)), pa.int64()),
+           text=pa.array(texts))
+
+    cl = dedup_clusters(str(tmp_path)).to_pandas()
+    assert len(cl) == 0
+
+    cur = curated_docs(str(tmp_path)).to_pandas()
+    assert len(cur) == len(texts)  # every doc survives curation
