@@ -82,6 +82,7 @@ def ops_queries():
         "sim_lsh_recall": _wrap(similarity.lsh_recall),
         "sim_ivf_topk": _wrap(similarity.ivf_topk),
         "sim_ivf_recall": _wrap(similarity.ivf_recall),
+        "sim_embedding_centroids": _wrap(similarity.embedding_centroids),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
         "events_sessions": _wrap(windows.events_sessions),
@@ -603,6 +604,20 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, score_ppm,
        CAST(rk AS BIGINT) AS rnk
 FROM r WHERE rk <= 5
+""",
+        # k-means M-step: micro-unit integer sums, floor-division mean
+        "sim_embedding_centroids": r"""
+WITH e AS (
+  SELECT label, CAST(t.j AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS micro
+  FROM embeddings, unnest(range(len(embedding))) AS t(j)
+)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(micro) AS BIGINT) AS sum_micro,
+       CAST(floor(sum(micro) * 1.0 / count(*)) AS BIGINT) AS mean_micro
+FROM e GROUP BY label, dim
 """,
     }
     oracles["corpus_curation"] = _sql_curation()

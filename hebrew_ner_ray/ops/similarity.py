@@ -458,3 +458,60 @@ def ivf_recall(sf_dir: str):
     return pd.DataFrame(
         {"n_exact": [n_exact], "n_found": [n_found], "recall_ppm": [recall_ppm]}
     ).astype("int64")
+
+
+_CENT_COLS = {"label": "int64", "dim": "int64", "n_vecs": "int64",
+              "sum_micro": "int64", "mean_micro": "int64"}
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroids over the embeddings table — the k-means M-step
+    as a distributed aggregate, and the grouped-analytics pattern for any
+    vector column.
+
+    Each batch reduces its vectors to a (labels × dim) integer partial —
+    components in micro-units (floor(x·1e6), exact int64 sums, no float
+    summation-order drift) accumulated with one ``np.add.at`` scatter.
+    The exchange therefore ships ≤ labels × dim rows per block,
+    corpus-size-independent; a size-aware keyed aggregate merges partials
+    and the mean is finalized as floor(sum/n) (floor division stated
+    identically in the SQL twin)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return typed_empty({k: v for k, v in _CENT_COLS.items()
+                                if k != "mean_micro"})
+        micro = np.floor(
+            np.stack(b["embedding"].to_list()).astype(np.float64) * 1_000_000
+        ).astype(np.int64)
+        labels = b["label"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), micro.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv).astype(np.int64)
+        d = micro.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "n_vecs": np.repeat(counts, d),
+            "sum_micro": sums.ravel(),
+        })
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CENT_COLS)
+        out = g.groupby(["label", "dim"], as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), sum_micro=("sum_micro", "sum"))
+        # floor division (matches SQL floor(sum*1.0/n)), NOT C-style
+        # truncation — they differ on negative sums
+        out["mean_micro"] = np.floor_divide(out["sum_micro"], out["n_vecs"])
+        return out[list(_CENT_COLS)].astype(_CENT_COLS)
+
+    return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                           ["label", "dim"], reduce)

@@ -653,3 +653,36 @@ def test_dedup_and_curation_zero_pair_corpus(ray_session, tmp_path):
 
     cur = curated_docs(str(tmp_path)).to_pandas()
     assert len(cur) == len(texts)  # every doc survives curation
+
+
+def test_embedding_centroids_negative_floor_division(ray_session, tmp_path):
+    """Means of negative-sum dimensions must use FLOOR division (SQL
+    floor(sum/n)), not C truncation — they differ exactly there. Also
+    checks micro-unit exactness against a single-frame computation."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.similarity import embedding_centroids
+
+    rng = np.random.RandomState(9)
+    vecs = rng.uniform(-1, 1, size=(90, 8)).astype(np.float32)
+    labels = rng.randint(0, 3, 90).astype(np.int32)
+    _write(tmp_path, "embeddings",
+           vec_id=pa.array(range(90), pa.int64()),
+           embedding=pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+           label=pa.array(labels, pa.int32()))
+
+    got = (embedding_centroids(str(tmp_path)).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    micro = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    rows = []
+    for lab in np.unique(labels):
+        m = micro[labels == lab]
+        s = m.sum(axis=0)
+        for d in range(8):
+            rows.append({"label": int(lab), "dim": d, "n_vecs": len(m),
+                         "sum_micro": int(s[d]),
+                         "mean_micro": int(np.floor_divide(s[d], len(m)))})
+    exp = pd.DataFrame(rows)
+    assert (exp["sum_micro"] < 0).any()  # the floor≠trunc regime is hit
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
