@@ -88,6 +88,7 @@ def ops_queries():
         "events_sessions": _wrap(windows.events_sessions),
         "events_top_users": _wrap(windows.events_top_users),
         "events_top_per_user": _wrap(windows.events_top_per_user),
+        "events_funnel": _wrap(windows.events_funnel),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -604,6 +605,31 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, score_ppm,
        CAST(rk AS BIGINT) AS rnk
 FROM r WHERE rk <= 5
+""",
+        # greedy earliest-completion funnel; population = any-event users
+        "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+       GROUP BY e.user_id)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                 WHEN t2.t2 IS NOT NULL THEN 2
+                 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+       CAST(coalesce(t1.t1, -1) AS BIGINT) AS t1_us,
+       CAST(coalesce(t2.t2, -1) AS BIGINT) AS t2_us,
+       CAST(coalesce(t3.t3, -1) AS BIGINT) AS t3_us
+FROM u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
 """,
         # k-means M-step: micro-unit integer sums, floor-division mean
         "sim_embedding_centroids": r"""

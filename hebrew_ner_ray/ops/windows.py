@@ -270,3 +270,75 @@ def events_top_per_user(sf_dir: str, k: int = 3):
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_aggregate(partials, ["user_id"], reduce,
                               coalesce=partitions_for())
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_COLS = {"user_id": "int64", "depth": "int64",
+                "t1_us": "int64", "t2_us": "int64", "t3_us": "int64"}
+
+
+def events_funnel(sf_dir: str):
+    """Per-user staged conversion funnel over ``FUNNEL_STAGES`` — the
+    event-sequence analytic every product pipeline runs.
+
+    Semantics (greedy earliest-completion, pinned identically in the SQL
+    twin): t1 = the user's earliest 'view'; t2 = earliest 'click'
+    STRICTLY after t1; t3 = earliest 'purchase' strictly after t2;
+    depth = number of stages reached (0–3, missing stage ts = −1).
+    Population = every user with ≥1 event of any type.
+
+    Scale shape: the read is column-pruned, non-stage events collapse to
+    a per-batch distinct-user combiner row (they only vote on the
+    population), stage events ship as (user, stage, ts) — then ONE keyed
+    exchange on user_id co-locates each user's stage events and the
+    funnel is computed fully vectorized per partition (three
+    groupby-min/merge rounds, no per-user Python loop)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    code_of = {s: i + 1 for i, s in enumerate(FUNNEL_STAGES)}
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        code = b["event_type"].map(code_of).fillna(0).astype(np.int64)
+        us = _epoch_us(b["ts"]).to_numpy()
+        stage = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "code": code.to_numpy(),
+            "us": us,
+        })
+        pop = stage.loc[stage["code"] == 0, ["user_id"]].drop_duplicates()
+        pop = pop.assign(code=np.int64(0), us=np.int64(-1))
+        return pd.concat([stage[stage["code"] > 0], pop], ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    rows = ds.map_batches(project, batch_format="pandas")
+
+    def funnel(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_FUNNEL_COLS)
+        users = part[["user_id"]].drop_duplicates()
+        t1 = (part[part["code"] == 1].groupby("user_id")["us"].min()
+              .rename("t1_us").reset_index())
+        c = part[part["code"] == 2].merge(t1, on="user_id")
+        t2 = (c[c["us"] > c["t1_us"]].groupby("user_id")["us"].min()
+              .rename("t2_us").reset_index())
+        p = part[part["code"] == 3].merge(t2, on="user_id")
+        t3 = (p[p["us"] > p["t2_us"]].groupby("user_id")["us"].min()
+              .rename("t3_us").reset_index())
+        out = (users.merge(t1, on="user_id", how="left")
+               .merge(t2, on="user_id", how="left")
+               .merge(t3, on="user_id", how="left"))
+        depth = (out[["t1_us", "t2_us", "t3_us"]].notna().sum(axis=1)
+                 .astype(np.int64))
+        out = out.fillna(-1)
+        out["depth"] = depth
+        return out[list(_FUNNEL_COLS)].astype(_FUNNEL_COLS)
+
+    return bucketed_aggregate(rows, ["user_id"], funnel,
+                              coalesce=partitions_for())

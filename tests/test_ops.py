@@ -686,3 +686,42 @@ def test_embedding_centroids_negative_floor_division(ray_session, tmp_path):
     exp = pd.DataFrame(rows)
     assert (exp["sum_micro"] < 0).any()  # the floor≠trunc regime is hit
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_funnel_stage_ordering(ray_session, tmp_path):
+    """Greedy funnel semantics edge cases: stage events BEFORE the prior
+    stage's completion don't count; earliest completion is used; users
+    with only non-stage events appear with depth 0."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.windows import events_funnel
+
+    rows = [
+        # user 1: click precedes the view → depth 1
+        (1, "click", 5), (1, "view", 10), (1, "purchase", 20),
+        # user 2: purchase precedes the click → depth 2
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: only a non-stage event → depth 0
+        (3, "signup", 7),
+        # user 4: two views; funnel anchors on the EARLIEST (t1=10, t2=15)
+        (4, "view", 30), (4, "view", 10), (4, "click", 15), (4, "purchase", 40),
+        # user 5: click at exactly t1 — strict inequality, doesn't count
+        (5, "view", 10), (5, "click", 10),
+    ]
+    _write(tmp_path, "events",
+           event_id=pa.array(range(len(rows)), pa.int64()),
+           user_id=pa.array([r[0] for r in rows], pa.int64()),
+           event_type=pa.array([r[1] for r in rows]),
+           ts=pa.array([pd.Timestamp(r[2], unit="us") for r in rows],
+                       pa.timestamp("us")))
+
+    got = (events_funnel(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "user_id": [1, 2, 3, 4, 5],
+        "depth":   [1, 2, 0, 3, 1],
+        "t1_us":   [10, 10, -1, 10, 10],
+        "t2_us":   [-1, 20, -1, 15, -1],
+        "t3_us":   [-1, -1, -1, 40, -1],
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
