@@ -89,6 +89,7 @@ def ops_queries():
         "events_top_users": _wrap(windows.events_top_users),
         "events_top_per_user": _wrap(windows.events_top_per_user),
         "events_funnel": _wrap(windows.events_funnel),
+        "events_props_stats": _wrap(windows.events_props_stats),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -605,6 +606,19 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, score_ppm,
        CAST(rk AS BIGINT) AS rnk
 FROM r WHERE rk <= 5
+""",
+        # JSON k extraction, bucketed by tens, exact micro-unit sums.
+        # floor(k/10), NOT DuckDB's // (truncation) — they differ on
+        # negative k (numpy's // floors)
+        "events_props_stats": """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) * 1.0 / 10)
+            * 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micro
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY k_bucket
 """,
         # greedy earliest-completion funnel; population = any-event users
         "events_funnel": """

@@ -342,3 +342,46 @@ def events_funnel(sf_dir: str):
 
     return bucketed_aggregate(rows, ["user_id"], funnel,
                               coalesce=partitions_for())
+
+
+_PROPS_COLS = {"k_bucket": "int64", "n_events": "int64",
+               "total_value_micro": "int64"}
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    ``props`` JSON-string column (vectorized regex — no per-row json
+    parser in the hot path; the contract '"k": <int>' is pinned by the
+    json_extract SQL twin), bucket it by tens, and aggregate count +
+    exact micro-unit value sums per bucket. The per-batch combiner ships
+    ≤ #buckets rows per block."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["props", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        keep = k.notna()
+        g = pd.DataFrame({
+            "k_bucket": (k[keep].astype(np.int64) // 10) * 10,
+            "value_micro": _micro(b.loc[keep, "value"]),
+        }).groupby("k_bucket", as_index=False).agg(
+            n_events=("value_micro", "size"),
+            total_value_micro=("value_micro", "sum"))
+        return g.astype(_PROPS_COLS) if len(g) else typed_empty(_PROPS_COLS)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PROPS_COLS)
+        return (g.groupby("k_bucket", as_index=False)
+                .agg(n_events=("n_events", "sum"),
+                     total_value_micro=("total_value_micro", "sum"))
+                .astype(_PROPS_COLS))
+
+    return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                           ["k_bucket"], merge)

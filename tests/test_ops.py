@@ -725,3 +725,30 @@ def test_events_funnel_stage_ordering(ray_session, tmp_path):
         "t3_us":   [-1, -1, -1, 40, -1],
     })
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_props_stats_negative_k_floor_bucket(ray_session, tmp_path):
+    """Negative k values must floor-bucket (-7 → -10), where DuckDB's //
+    would truncate to 0 — the oracle states floor() explicitly; this
+    pins the engine side. Malformed props rows are dropped."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.windows import events_props_stats
+
+    props = ['{"k": -7}', '{"k": 23}', '{"k": -10}', 'not json', '{"x": 1}']
+    vals = [1.5, 2.25, 3.0, 9.9, 9.9]
+    _write(tmp_path, "events",
+           event_id=pa.array(range(5), pa.int64()),
+           props=pa.array(props), value=pa.array(vals),
+           ts=pa.array([pd.Timestamp(0)] * 5, pa.timestamp("us")),
+           user_id=pa.array([1] * 5, pa.int64()),
+           event_type=pa.array(["view"] * 5))
+
+    got = (events_props_stats(str(tmp_path)).to_pandas()
+           .sort_values("k_bucket").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "k_bucket": [-10, 20],
+        "n_events": [2, 1],
+        "total_value_micro": [1_500_000 + 3_000_000, 2_250_000],
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
