@@ -83,6 +83,7 @@ def ops_queries():
         "sim_ivf_topk": _wrap(similarity.ivf_topk),
         "sim_ivf_recall": _wrap(similarity.ivf_recall),
         "sim_embedding_centroids": _wrap(similarity.embedding_centroids),
+        "sim_kmeans_assign": _wrap(similarity.kmeans_assign),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
         "events_sessions": _wrap(windows.events_sessions),
@@ -658,6 +659,32 @@ SELECT CAST(label AS BIGINT) AS label, dim,
        CAST(sum(micro) AS BIGINT) AS sum_micro,
        CAST(floor(sum(micro) * 1.0 / count(*)) AS BIGINT) AS mean_micro
 FROM e GROUP BY label, dim
+""",
+        # k-means E-step: integer squared L2 to the M-step centroids;
+        # argmin tie-break = smallest centroid label (stated in the window)
+        "sim_kmeans_assign": r"""
+WITH e AS (
+  SELECT vec_id, label, CAST(t.j AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS micro
+  FROM embeddings, unnest(range(len(embedding))) AS t(j)
+),
+c AS (
+  SELECT label AS clabel, dim,
+         CAST(floor(sum(micro) * 1.0 / count(*)) AS BIGINT) AS mean_micro
+  FROM e GROUP BY label, dim
+),
+d AS (
+  SELECT e.vec_id, max(e.label) AS label, c.clabel,
+         sum((e.micro - c.mean_micro) * (e.micro - c.mean_micro)) AS dist2
+  FROM e JOIN c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.clabel
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist2, clabel) AS rn FROM d)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       CAST(clabel AS BIGINT) AS assigned, CAST(dist2 AS BIGINT) AS dist2
+FROM r WHERE rn = 1
 """,
     }
     oracles["corpus_curation"] = _sql_curation()

@@ -515,3 +515,55 @@ def embedding_centroids(sf_dir: str):
 
     return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
                            ["label", "dim"], reduce)
+
+
+_ASSIGN_COLS = {"vec_id": "int64", "label": "int64",
+                "assigned": "int64", "dist2": "int64"}
+
+
+def kmeans_assign(sf_dir: str):
+    """k-means E-step — with :func:`embedding_centroids` (the M-step)
+    this is a full Lloyd iteration, the iterative-algorithm pattern on
+    Ray Data: a tiny global model (labels × dim centroid matrix) is
+    recomputed per round and broadcast, and the corpus-wide assignment is
+    a stateless vectorized map.
+
+    Exactness: all arithmetic in integer micro-units — squared L2 via
+    |x|² + |c|² − 2x·c with int64 matmuls (values bounded by
+    64·(2e6)² ≈ 2.6e14, far inside int64), so the distance AND the
+    argmin tie-break (smallest centroid label) are bit-reproducible in
+    the SQL twin. Centroids come from the M-step pipeline itself
+    (mean_micro), pulled to the driver at labels×dim size (model-sized,
+    not corpus-sized) and ``ray.put`` once."""
+    import ray
+    import ray.data
+
+    cent = embedding_centroids(sf_dir).to_pandas()
+    cmat = (cent.pivot(index="label", columns="dim", values="mean_micro")
+            .sort_index())
+    labels = cmat.index.to_numpy(dtype=np.int64)
+    cmat = cmat.to_numpy(dtype=np.int64)
+    cent_ref = ray.put((labels, cmat, (cmat * cmat).sum(axis=1)))
+
+    class Assign:
+        def __init__(self):
+            self.labels, self.cmat, self.c2 = ray.get(cent_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            micro = np.floor(
+                np.stack(b["embedding"].to_list()).astype(np.float64) * 1_000_000
+            ).astype(np.int64)
+            x2 = (micro * micro).sum(axis=1)
+            d2 = x2[:, None] + self.c2[None, :] - 2 * (micro @ self.cmat.T)
+            best = np.argmin(d2, axis=1)  # ties → first index = smallest label
+            return pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+                "label": b["label"].to_numpy(dtype=np.int64),
+                "assigned": self.labels[best],
+                "dist2": d2[np.arange(len(best)), best],
+            }).astype(_ASSIGN_COLS)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return ds.map_batches(Assign, batch_format="pandas",
+                          concurrency=default_concurrency())

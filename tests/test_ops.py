@@ -752,3 +752,42 @@ def test_events_props_stats_negative_k_floor_bucket(ray_session, tmp_path):
         "total_value_micro": [1_500_000 + 3_000_000, 2_250_000],
     })
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kmeans_assign_matches_numpy(ray_session, tmp_path):
+    """E-step assignment equals a single-frame exact computation,
+    including argmin tie-breaks (duplicate centroids force a tie) and
+    negative components."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.similarity import kmeans_assign
+
+    rng = np.random.RandomState(21)
+    vecs = rng.uniform(-1, 1, size=(80, 6)).astype(np.float32)
+    # labels 2 and 3 get IDENTICAL vectors → identical centroids → ties
+    labels = np.array(([0] * 20) + ([1] * 20) + ([2] * 20) + ([3] * 20),
+                      dtype=np.int32)
+    vecs[40:60] = vecs[60:80]
+    _write(tmp_path, "embeddings",
+           vec_id=pa.array(range(80), pa.int64()),
+           embedding=pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+           label=pa.array(labels, pa.int32()))
+
+    got = (kmeans_assign(str(tmp_path)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    micro = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    cents = np.stack([
+        np.floor_divide(micro[labels == lab].sum(axis=0), (labels == lab).sum())
+        for lab in range(4)])
+    d2 = ((micro[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    best = np.argmin(d2, axis=1)
+    assert (cents[2] == cents[3]).all()  # the tie exists for EVERY vector
+    assert (best != 3).all()             # ties always break to label 2
+    assert (best == 2).any()
+    exp = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                        "label": labels.astype(np.int64),
+                        "assigned": best.astype(np.int64),
+                        "dist2": d2[np.arange(80), best]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
