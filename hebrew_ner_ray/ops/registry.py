@@ -98,6 +98,7 @@ def ops_queries():
         "shipping_priority": _wrap(relational.shipping_priority),
         "order_priority_semi": _wrap(relational.order_priority_semi),
         "customers_no_orders": _wrap(relational.customers_no_orders),
+        "returned_item_revenue": _wrap(relational.returned_item_revenue),
         "token_quantiles": _wrap(textstats.token_quantiles),
         "tfidf_topk": _wrap(textstats.tfidf_topk),
         "media_decode": _wrap(multimodal.media_decode),
@@ -564,6 +565,25 @@ WHERE c.c_acctbal > 0.0
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND strftime(o.o_orderdate, '%Y-%m-%d') >= '2000-06-01')
 GROUP BY n.n_name
+""",
+        "returned_item_revenue": """
+WITH r AS (
+  SELECT o.o_custkey,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE strftime(o.o_orderdate, '%Y-%m-%d') >= '1996-01-01'
+    AND strftime(o.o_orderdate, '%Y-%m-%d') < '1996-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, n.n_name,
+       CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+FROM r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_cents DESC, c.c_custkey LIMIT 20
 """,
         # quantile semantics pinned in window form (NOT an engine builtin):
         # q-quantile = smallest value whose 1-based rank reaches ceil(q*N)

@@ -427,3 +427,153 @@ def customers_no_orders(sf_dir: str):
         return out[list(_Q22_COLS)].astype(_Q22_COLS)
 
     return small_key_aggregate(partials, reduce)
+
+
+Q10_LO, Q10_HI = "1996-01-01", "1996-07-01"
+_Q10_COLS = {"c_custkey": "int64", "c_name": "object", "n_name": "object",
+             "acctbal_cents": "int64", "revenue_cents": "int64"}
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — the CHAINED big-join: lineitem⋈orders on
+    orderkey, then the order-level revenue re-keys and joins customer on
+    custkey; top-k customers by returned-item revenue.
+
+    Scale plan: two keyed exchanges, one per join key, each fed by
+    combiners so neither ships raw fact rows twice —
+
+    1. lineitem ('R'-flag filtered) pre-aggregates revenue per orderkey
+       per batch; orders (date-windowed) ship (orderkey, custkey); the
+       orderkey exchange joins and IMMEDIATELY re-combines to (custkey,
+       revenue) partials — order-level rows never leave the partition.
+    2. customer ships attribute rows once; the custkey exchange merges
+       revenue partials with attributes, emits a local top-k, and a
+       single small task takes the global top-k (revenue DESC, custkey
+       ASC tie-break, stated in the SQL twin). The nation dimension (25
+       rows) maps names after the final reduce.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _S1 = {"orderkey": "int64", "custkey": "int64",
+           "revenue_cents": "int64", "side": "int64"}
+    _S1_OUT = {"custkey": "int64", "revenue_cents": "int64"}
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+        b = b[(d >= Q10_LO) & (d < Q10_HI)]
+        return pd.DataFrame({
+            "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+            "revenue_cents": np.zeros(len(b), dtype=np.int64),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()) * 100
+        ).astype(np.int64)
+        g = (pd.DataFrame({"orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                           "revenue_cents": rev})
+             .groupby("orderkey", as_index=False)["revenue_cents"].sum())
+        g["custkey"] = np.int64(0)
+        g["side"] = np.int64(1)
+        return g[list(_S1)].astype(_S1)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pandas")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(line_side, batch_format="pandas")
+
+    def join_to_cust(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_S1_OUT)
+        o = part[part["side"] == 0]
+        r = (part[part["side"] == 1]
+             .groupby("orderkey", as_index=False)["revenue_cents"].sum())
+        m = o[["orderkey", "custkey"]].merge(r, on="orderkey")
+        if m.empty:
+            return typed_empty(_S1_OUT)
+        return (m.groupby("custkey", as_index=False)["revenue_cents"].sum()
+                .astype(_S1_OUT))
+
+    cust_rev = bucketed_aggregate(orders.union(lines), ["orderkey"],
+                                  join_to_cust, coalesce=partitions_for())
+
+    _S2 = {"custkey": "int64", "c_name": "object", "nationkey": "int64",
+           "acctbal_cents": "int64", "revenue_cents": "int64", "side": "int64"}
+    _S2_OUT = {"custkey": "int64", "c_name": "object", "nationkey": "int64",
+               "acctbal_cents": "int64", "revenue_cents": "int64"}
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+            "c_name": b["c_name"].to_numpy(),
+            "nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "acctbal_cents": np.floor(b["c_acctbal"].to_numpy() * 100).astype(np.int64),
+            "revenue_cents": np.zeros(len(b), dtype=np.int64),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    def rev_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["c_name"] = ""
+        b["nationkey"] = np.int64(0)
+        b["acctbal_cents"] = np.int64(0)
+        b["side"] = np.int64(1)
+        return b[list(_S2)].astype(_S2)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    ).map_batches(cust_side, batch_format="pandas")
+
+    def local_topk(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_S2_OUT)
+        r = (part[part["side"] == 1]
+             .groupby("custkey", as_index=False)["revenue_cents"].sum())
+        c = part[part["side"] == 0].drop(columns=["revenue_cents", "side"])
+        m = c.merge(r, on="custkey")
+        if m.empty:
+            return typed_empty(_S2_OUT)
+        m = m.sort_values(["revenue_cents", "custkey"],
+                          ascending=[False, True]).head(k)
+        return m[list(_S2_OUT)].astype(_S2_OUT)
+
+    partials = bucketed_aggregate(
+        cust.union(cust_rev.map_batches(rev_side, batch_format="pandas")),
+        ["custkey"], local_topk, coalesce=partitions_for())
+
+    names = dict(zip(
+        *(pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+          .to_pandas().T.values.tolist())
+    ))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q10_COLS)
+        g = g.sort_values(["revenue_cents", "custkey"],
+                          ascending=[False, True]).head(k)
+        out = pd.DataFrame({
+            "c_custkey": g["custkey"].to_numpy(),
+            "c_name": g["c_name"].to_numpy(),
+            "n_name": g["nationkey"].map(names).to_numpy(),
+            "acctbal_cents": g["acctbal_cents"].to_numpy(),
+            "revenue_cents": g["revenue_cents"].to_numpy(),
+        })
+        return out.astype(_Q10_COLS)
+
+    return small_key_aggregate(partials, final_topk)

@@ -791,3 +791,67 @@ def test_kmeans_assign_matches_numpy(ray_session, tmp_path):
                         "assigned": best.astype(np.int64),
                         "dist2": d2[np.arange(80), best]})
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_returned_item_revenue_cross_partition_sum(ray_session, tmp_path):
+    """Q10 chain: one hot customer owns many date-windowed orders whose
+    revenue partials arrive at the custkey exchange from MANY orderkey
+    partitions — the per-partition merge must sum them all before the
+    top-k. Verified against a single-frame pandas computation."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.relational import (
+        Q10_HI,
+        Q10_LO,
+        returned_item_revenue,
+    )
+
+    rng = np.random.RandomState(17)
+    n_orders = 300
+    custkeys = np.concatenate([np.zeros(150, dtype=np.int64),
+                               rng.randint(1, 40, 150)])
+    dates = pd.to_datetime("1995-06-01") + pd.to_timedelta(
+        rng.randint(0, 700, n_orders), unit="D")
+    _write(tmp_path, "orders",
+           o_orderkey=pa.array(range(n_orders), pa.int64()),
+           o_custkey=pa.array(custkeys, pa.int64()),
+           o_orderdate=pa.array(dates))
+    lkeys = rng.choice(n_orders, 900)
+    price = rng.uniform(10, 500, 900).round(2)
+    disc = rng.choice([0.0, 0.05, 0.1], 900)
+    flags = rng.choice(["R", "A", "N"], 900)
+    _write(tmp_path, "lineitem",
+           l_orderkey=pa.array(lkeys, pa.int64()),
+           l_extendedprice=pa.array(price),
+           l_discount=pa.array(disc),
+           l_returnflag=pa.array(flags))
+    _write(tmp_path, "customer",
+           c_custkey=pa.array(range(40), pa.int64()),
+           c_name=pa.array([f"Customer#{i}" for i in range(40)]),
+           c_nationkey=pa.array([i % 3 for i in range(40)], pa.int32()),
+           c_acctbal=pa.array([float(100 + i) for i in range(40)]))
+    _write(tmp_path, "nation",
+           n_nationkey=pa.array([0, 1, 2], pa.int32()),
+           n_name=pa.array(["N0", "N1", "N2"]))
+
+    # pandas reference
+    li = pd.DataFrame({"l_orderkey": lkeys,
+                       "rev": np.floor(price * (1 - disc) * 100).astype(np.int64),
+                       "flag": flags})
+    od = pd.DataFrame({"o_orderkey": np.arange(n_orders),
+                       "o_custkey": custkeys,
+                       "d": pd.Series(dates).dt.strftime("%Y-%m-%d")})
+    m = li[li["flag"] == "R"].merge(
+        od[(od["d"] >= Q10_LO) & (od["d"] < Q10_HI)],
+        left_on="l_orderkey", right_on="o_orderkey")
+    per_cust = (m.groupby("o_custkey")["rev"].sum()
+                .sort_values(ascending=False).reset_index())
+    per_cust = per_cust.sort_values(["rev", "o_custkey"],
+                                    ascending=[False, True]).head(20)
+    assert per_cust.iloc[0]["o_custkey"] == 0  # the hot customer wins
+
+    got = returned_item_revenue(str(tmp_path)).to_pandas()
+    assert len(got) == len(per_cust)
+    assert (got["c_custkey"].to_numpy() == per_cust["o_custkey"].to_numpy()).all()
+    assert (got["revenue_cents"].to_numpy() == per_cust["rev"].to_numpy()).all()
+    assert got.iloc[0]["n_name"] == "N0" and got.iloc[0]["c_name"] == "Customer#0"
