@@ -18,7 +18,7 @@ from hebrew_ner_ray.ops.similarity import (
     TOPK,
 )
 from hebrew_ner_ray.ops.textstats import KMV_K, STOPWORDS
-from hebrew_ner_ray.ops.windows import HOP_US, SESSION_GAP_US, WINDOW_US
+from hebrew_ner_ray.ops.windows import HOP_US, SESSION_GAP_US, WINDOW_KMV_K, WINDOW_US
 
 _BPE_RE = r"[a-z0-9_]+|[^a-z0-9_\s]"
 
@@ -91,6 +91,7 @@ def ops_queries():
         "events_top_per_user": _wrap(windows.events_top_per_user),
         "events_funnel": _wrap(windows.events_funnel),
         "events_props_stats": _wrap(windows.events_props_stats),
+        "events_window_distinct": _wrap(windows.events_window_distinct),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -627,6 +628,27 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, score_ppm,
        CAST(rk AS BIGINT) AS rnk
 FROM r WHERE rk <= 5
+""",
+        # per-window KMV distinct-user sketch: deterministic, so the
+        # ESTIMATE itself is oracle-checked (exact when distinct < K)
+        "events_window_distinct": f"""
+WITH ids AS (
+  SELECT DISTINCT
+         CAST((epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS BIGINT) AS window_us,
+         {sql_stable_id("CAST(user_id AS VARCHAR)")} AS h
+  FROM events),
+km AS (SELECT window_us, h,
+              row_number() OVER (PARTITION BY window_us ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY window_us) AS n_distinct
+       FROM ids)
+SELECT window_us, CAST(count(*) AS BIGINT) AS k_used,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN max(n_distinct) < {WINDOW_KMV_K} THEN max(n_distinct)
+                 ELSE CAST({WINDOW_KMV_K - 1} AS HUGEINT)
+                      * 1152921504606846976 // max(h) END AS BIGINT)
+         AS est_distinct
+FROM km WHERE rn <= {WINDOW_KMV_K}
+GROUP BY window_us
 """,
         # JSON k extraction, bucketed by tens, exact micro-unit sums.
         # floor(k/10), NOT DuckDB's // (truncation) — they differ on

@@ -385,3 +385,63 @@ def events_props_stats(sf_dir: str):
 
     return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
                            ["k_bucket"], merge)
+
+
+WINDOW_KMV_K = 64
+_WKMV_COLS = {"window_us": "int64", "k_used": "int64",
+              "kth_hash": "int64", "est_distinct": "int64"}
+
+
+def events_window_distinct(sf_dir: str, k: int = WINDOW_KMV_K):
+    """Distinct users per 1-h tumbling window via a per-window KMV
+    sketch — the windowed-cardinality composite (exact COUNT DISTINCT per
+    window needs a per-window user set; the sketch's exchange ships ≤ k
+    hashes per (window, block) instead).
+
+    Deterministic end-to-end like :func:`~hebrew_ner_ray.ops.textstats.
+    distinct_tokens_kmv`: hashes are the shared 60-bit md5 ``stable_id``
+    of the user id, so the per-window kth-minimum AND the estimate are
+    exactly SQL-reproducible; windows with fewer than k distinct users
+    (the common case) are exact."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    HASH_SPACE = 1 << 60
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        win = (_epoch_us(b["ts"]).to_numpy() // WINDOW_US) * WINDOW_US
+        g = pd.DataFrame({
+            "window_us": win,
+            "h": stable_ids([str(u) for u in b["user_id"].to_numpy()]),
+        }).drop_duplicates()
+        g = g.sort_values(["window_us", "h"], kind="mergesort")
+        g = g[g.groupby("window_us", sort=False).cumcount() < k]
+        return g.astype({"window_us": "int64", "h": "int64"})
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_WKMV_COLS)
+        part = part.drop_duplicates().sort_values(["window_us", "h"],
+                                                  kind="mergesort")
+        rows = []
+        for win, g in part.groupby("window_us", sort=False):
+            h = g["h"].to_numpy()
+            k_used = int(min(len(h), k))
+            kth = int(h[k_used - 1])
+            est = len(h) if len(h) < k else (k - 1) * HASH_SPACE // kth
+            rows.append({"window_us": int(win), "k_used": k_used,
+                         "kth_hash": kth, "est_distinct": int(est)})
+        return pd.DataFrame(rows).astype(_WKMV_COLS)
+
+    return bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                              ["window_us"], finalize,
+                              coalesce=partitions_for())

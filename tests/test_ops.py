@@ -855,3 +855,33 @@ def test_returned_item_revenue_cross_partition_sum(ray_session, tmp_path):
     assert (got["c_custkey"].to_numpy() == per_cust["o_custkey"].to_numpy()).all()
     assert (got["revenue_cents"].to_numpy() == per_cust["rev"].to_numpy()).all()
     assert got.iloc[0]["n_name"] == "N0" and got.iloc[0]["c_name"] == "Customer#0"
+
+
+def test_events_window_distinct_estimator_branch(ray_session, tmp_path):
+    """One window with 500 distinct users (>> K=64) exercises the KMV
+    estimator branch (est within the ~1/sqrt(K) band); a 3-user window is
+    exact. Partial pruning across batches must not change the result."""
+    import pyarrow as pa
+
+    from hebrew_ner_ray.ops.windows import WINDOW_US, events_window_distinct
+
+    big_users = np.arange(1000, 1500)
+    small_users = np.array([1, 2, 3])
+    ts = np.concatenate([
+        np.full(500, 100, dtype=np.int64),            # window 0
+        np.full(3, WINDOW_US + 5, dtype=np.int64),    # window 1
+    ])
+    users = np.concatenate([big_users, small_users])
+    _write(tmp_path, "events",
+           event_id=pa.array(range(len(users)), pa.int64()),
+           user_id=pa.array(users, pa.int64()),
+           ts=pa.array([pd.Timestamp(int(t), unit="us") for t in ts],
+                       pa.timestamp("us")))
+
+    got = (events_window_distinct(str(tmp_path)).to_pandas()
+           .sort_values("window_us").reset_index(drop=True))
+    assert len(got) == 2
+    big, small = got.iloc[0], got.iloc[1]
+    assert big["k_used"] == 64
+    assert abs(int(big["est_distinct"]) - 500) / 500 < 0.35
+    assert small["k_used"] == 3 and small["est_distinct"] == 3
