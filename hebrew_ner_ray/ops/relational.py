@@ -29,19 +29,40 @@ _PRICE_COLS = {
 }
 
 
-def revenue_by_nation(sf_dir: str):
+BROADCAST_DIM_LIMIT = 20_000_000  # rows; ~300 MB of (int64, int64) per worker
+
+
+def revenue_by_nation(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
+    """Size-aware dimension join: customer→nation revenue rollup.
+
+    - customer rows ≤ ``broadcast_dim_limit`` (metadata row count, no
+      read): the dimension is ``ray.put`` ONCE as sorted arrays and every
+      orders batch does a searchsorted lookup — zero shuffle.
+    - larger: no broadcast — per-batch (custkey, cents, n) combiners from
+      orders meet the customer rows in ONE keyed exchange on custkey
+      (same plan as the Q10 chain's second hop), then the tiny nation
+      rollup. The dispatch closes the 'customer broadcast is fine at sf'
+      caveat: a 100-TB customer table takes the exchange arm
+      automatically.
+    """
     import ray
     import ray.data
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    if n_cust > broadcast_dim_limit:
+        return _revenue_by_nation_exchange(sf_dir, names)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     ck = cust.column("c_custkey").to_numpy()
     order_idx = np.argsort(ck)
     dim_ref = ray.put(
         (
             ck[order_idx],
             cust.column("c_nationkey").to_numpy()[order_idx],
-            dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())),
+            names,
         )
     )
 
@@ -77,6 +98,77 @@ def revenue_by_nation(sf_dir: str):
         return out.astype({"revenue_cents": "int64", "n_orders": "int64"})
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate
+
+    return small_key_aggregate(partials, reduce)
+
+
+def _revenue_by_nation_exchange(sf_dir: str, names: dict):
+    """Exchange arm: orders combiners ⋈ customer on custkey, no broadcast."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _ROW = {"custkey": "int64", "nationkey": "int64", "revenue_cents": "int64",
+            "n_orders": "int64", "side": "int64"}
+    _PART = {"nationkey": "int64", "revenue_cents": "int64", "n_orders": "int64"}
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+            "revenue_cents": np.floor(b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        }).groupby("custkey", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum"),
+                 n_orders=("revenue_cents", "size")))
+        g["nationkey"] = np.int64(0)
+        g["side"] = np.int64(1)
+        return g[list(_ROW)].astype(_ROW)
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+            "nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "revenue_cents": np.zeros(len(b), dtype=np.int64),
+            "n_orders": np.zeros(len(b), dtype=np.int64),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(order_side, batch_format="pandas")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_side, batch_format="pandas")
+
+    def join_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_PART)
+        r = (part[part["side"] == 1]
+             .groupby("custkey", as_index=False)
+             .agg(revenue_cents=("revenue_cents", "sum"),
+                  n_orders=("n_orders", "sum")))
+        c = part[part["side"] == 0][["custkey", "nationkey"]]
+        m = c.merge(r, on="custkey")
+        if m.empty:
+            return typed_empty(_PART)
+        return (m.groupby("nationkey", as_index=False)
+                .agg(revenue_cents=("revenue_cents", "sum"),
+                     n_orders=("n_orders", "sum")).astype(_PART))
+
+    partials = bucketed_aggregate(cust.union(orders), ["custkey"],
+                                  join_part, coalesce=partitions_for())
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_REV_COLS)
+        out = g.groupby("nationkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum"))
+        out["n_name"] = out["nationkey"].map(names)
+        return out[list(_REV_COLS)].astype(_REV_COLS)
 
     return small_key_aggregate(partials, reduce)
 

@@ -885,3 +885,17 @@ def test_events_window_distinct_estimator_branch(ray_session, tmp_path):
     assert big["k_used"] == 64
     assert abs(int(big["est_distinct"]) - 500) / 500 < 0.35
     assert small["k_used"] == 3 and small["est_distinct"] == 3
+
+
+def test_revenue_by_nation_exchange_arm_matches_broadcast(ray_session):
+    """Force the no-broadcast keyed-exchange arm (broadcast_dim_limit=0)
+    on the real fixture and compare with the broadcast arm — same rows,
+    including customers-without-orders exclusion semantics."""
+    from hebrew_ner_ray.ops.relational import revenue_by_nation
+
+    bc = (revenue_by_nation(SF).to_pandas()
+          .sort_values("n_name").reset_index(drop=True))
+    ex = (revenue_by_nation(SF, broadcast_dim_limit=0).to_pandas()
+          .sort_values("n_name").reset_index(drop=True))
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(ex, bc[list(ex.columns)], check_dtype=False)
