@@ -17,7 +17,7 @@ from hebrew_ner_ray.ops.similarity import (
     PAIR_TAU,
     TOPK,
 )
-from hebrew_ner_ray.ops.textstats import KMV_K, STOPWORDS
+from hebrew_ner_ray.ops.textstats import HEAVY_K, KMV_K, STOPWORDS
 from hebrew_ner_ray.ops.windows import HOP_US, SESSION_GAP_US, WINDOW_KMV_K, WINDOW_US
 
 _BPE_RE = r"[a-z0-9_]+|[^a-z0-9_\s]"
@@ -102,6 +102,7 @@ def ops_queries():
         "returned_item_revenue": _wrap(relational.returned_item_revenue),
         "token_quantiles": _wrap(textstats.token_quantiles),
         "tfidf_topk": _wrap(textstats.tfidf_topk),
+        "text_heavy_hitters": _wrap(textstats.heavy_hitters),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -604,6 +605,17 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # corpus-wide top-k tokens; tie-break (total_tf DESC, token ASC)
+        # matches the engine's per-partition/final mergesort exactly
+        "text_heavy_hitters": rf"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS total_tf FROM tk GROUP BY token)
+SELECT token, total_tf,
+       CAST(row_number() OVER (ORDER BY total_tf DESC, token) AS BIGINT) AS rnk
+FROM c ORDER BY total_tf DESC, token LIMIT {HEAVY_K}
 """,
         # integer-exact tf-idf: score_ppm = tf * floor(ln(N/df)*1e6);
         # ties break token-ascending — same window stated in the engine

@@ -437,3 +437,72 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K, broadcast_vocab_limit: int = 2_000
         return _topk_per_doc(g, k)
 
     return grouped_exchange(scored, ["doc_id"], doc_topk)
+
+
+HEAVY_K = 50
+
+_HH_PARTIAL = {"token": "object", "tf": "int64"}
+_HH_COLS = {"token": "object", "total_tf": "int64", "rnk": "int64"}
+
+
+def heavy_hitters(sf_dir: str, k: int = HEAVY_K):
+    """Corpus-wide top-k tokens by total frequency — the canonical
+    combiner word count (heavy hitters, exact arm).
+
+    Per-batch ``value_counts`` shrinks each block to its LOCAL vocabulary
+    before anything is exchanged (Zipf makes this a huge combiner win:
+    the hot tokens collapse to one row per block). The keyed exchange
+    then holds each token wholly in one partition, which sums its
+    partials and emits only its local top-k — so the final hop carries
+    k rows per partition, never the vocabulary. One small task takes the
+    global top-k. At 100 TB the only vocabulary-sized structure is the
+    hash-partitioned partial set, which streams through the exchange.
+
+    Tie-break pinned: (total_tf DESC, token ASC) — stated identically in
+    the SQL window oracle.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        partitions_for,
+        sized_aggregate,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+").explode().dropna()
+        if toks.empty:
+            return typed_empty(_HH_PARTIAL)
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype("object"), "tf": vc.to_numpy(dtype=np.int64)}
+        )
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # complete-key partition: sum this partition's tokens, keep its
+        # top-k — the global top-k is a subset of the per-partition ones
+        if g.empty:
+            return typed_empty(_HH_PARTIAL)
+        out = g.groupby("token", as_index=False).agg(tf=("tf", "sum"))
+        out = out.sort_values(["tf", "token"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return out[list(_HH_PARTIAL)].astype(_HH_PARTIAL)
+
+    agg = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                          ["token"], part_topk, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_HH_COLS)
+        # per-token sum is a no-op on complete-key top-k rows, but keeps
+        # `final` exact even if an upstream dispatch ever hands it partials
+        out = g.groupby("token", as_index=False).agg(total_tf=("tf", "sum"))
+        out = out.sort_values(["total_tf", "token"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[list(_HH_COLS)].astype(_HH_COLS)
+
+    return small_key_aggregate(agg, final)

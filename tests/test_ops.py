@@ -899,3 +899,35 @@ def test_revenue_by_nation_exchange_arm_matches_broadcast(ray_session):
           .sort_values("n_name").reset_index(drop=True))
     assert len(bc) > 0
     pd.testing.assert_frame_equal(ex, bc[list(ex.columns)], check_dtype=False)
+
+
+def test_heavy_hitters_counts_and_tiebreak(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import heavy_hitters
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["b a a c", "A b  b", "zz c b"],
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = heavy_hitters(str(tmp_path), k=3).to_pandas()
+    # counts over lower(): a=3, b=4, c=2, zz=1 → top3 = b, a, c
+    assert out["token"].tolist() == ["b", "a", "c"]
+    assert out["total_tf"].tolist() == [4, 3, 2]
+    assert out["rnk"].tolist() == [1, 2, 3]
+
+    # tie-break is token-ascending at equal counts
+    docs2 = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["y x y x"],
+        }
+    )
+    pq.write_table(docs2, tmp_path / "documents.parquet")
+    out2 = heavy_hitters(str(tmp_path), k=2).to_pandas()
+    assert out2["token"].tolist() == ["x", "y"]
+    assert out2["rnk"].tolist() == [1, 2]
