@@ -92,6 +92,7 @@ def ops_queries():
         "events_funnel": _wrap(windows.events_funnel),
         "events_props_stats": _wrap(windows.events_props_stats),
         "events_window_distinct": _wrap(windows.events_window_distinct),
+        "events_running_total": _wrap(windows.events_running_total),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -665,6 +666,22 @@ GROUP BY window_us
         # JSON k extraction, bucketed by tens, exact micro-unit sums.
         # floor(k/10), NOT DuckDB's // (truncation) — they differ on
         # negative k (numpy's // floors)
+        # window functions over the event stream: same (ts, event_id)
+        # tie-break window as the engine's per-partition mergesort;
+        # first-event gap pinned to -1 (engine avoids nullable ints)
+        "events_running_total": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT)
+         AS prev_gap_us,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER
+              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_micro
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
         "events_props_stats": """
 SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) * 1.0 / 10)
             * 10 AS BIGINT) AS k_bucket,

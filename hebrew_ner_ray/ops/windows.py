@@ -445,3 +445,47 @@ def events_window_distinct(sf_dir: str, k: int = WINDOW_KMV_K):
     return bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
                               ["window_us"], finalize,
                               coalesce=partitions_for())
+
+
+_RT_COLS = {"event_id": "int64", "user_id": "int64", "ts_us": "int64",
+            "seq": "int64", "prev_gap_us": "int64", "running_value_micro": "int64"}
+
+
+def events_running_total(sf_dir: str):
+    """Per-user running aggregates — the SQL window-function family
+    (SUM OVER, ROW_NUMBER, LAG) as one keyed exchange.
+
+    A user's prefix sums need that user's events colocated and ordered —
+    inherent to the semantics (same partitioning contract as the as-of
+    join). One hash exchange on ``user_id``; inside each complete-key
+    partition the whole computation is vectorized: one mergesort by
+    (user_id, ts, event_id) — the deterministic tie-break stated in the
+    oracle's window — then groupby cumcount/cumsum/diff. State never
+    crosses a partition, output is event-sized and streams to the sink.
+    ``prev_gap_us`` is −1 on a user's first event (no nullable ints on
+    the exchange)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "ts_us": _epoch_us(b["ts"]), "value_micro": _micro(b["value"])}
+        )
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_RT_COLS)
+        p = p.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        gb = p.groupby("user_id", sort=False)
+        p["seq"] = (gb.cumcount() + 1).astype("int64")
+        p["prev_gap_us"] = gb["ts_us"].diff().fillna(-1).astype("int64")
+        p["running_value_micro"] = gb["value_micro"].cumsum().astype("int64")
+        return p[list(_RT_COLS)].astype(_RT_COLS)
+
+    return bucketed_aggregate(ds.map_batches(project, batch_format="pandas"),
+                              ["user_id"], per_partition, coalesce=partitions_for())

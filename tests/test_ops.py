@@ -931,3 +931,31 @@ def test_heavy_hitters_counts_and_tiebreak(ray_session, tmp_path):
     out2 = heavy_hitters(str(tmp_path), k=2).to_pandas()
     assert out2["token"].tolist() == ["x", "y"]
     assert out2["rnk"].tolist() == [1, 2]
+
+
+def test_running_total_tiebreak_and_first_gap(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_running_total
+
+    # user 1 has two events at the SAME ts — order must fall back to
+    # event_id; user 2 pins the -1 first-event gap sentinel
+    ts = pa.array([1_000_000, 1_000_000, 3_000_000, 5_000_000],
+                  type=pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([12, 7, 20, 30], type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "value": pa.array([1.5, 2.25, 4.0, 8.0], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_running_total(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "seq"]).reset_index(drop=True))
+    assert out["event_id"].tolist() == [7, 12, 20, 30]  # event_id breaks the tie
+    assert out["seq"].tolist() == [1, 2, 3, 1]
+    assert out["prev_gap_us"].tolist() == [-1, 0, 2_000_000, -1]
+    assert out["running_value_micro"].tolist() == [
+        2_250_000, 3_750_000, 7_750_000, 8_000_000]
