@@ -101,6 +101,7 @@ def ops_queries():
         "order_priority_semi": _wrap(relational.order_priority_semi),
         "customers_no_orders": _wrap(relational.customers_no_orders),
         "returned_item_revenue": _wrap(relational.returned_item_revenue),
+        "local_supplier_revenue": _wrap(relational.local_supplier_revenue),
         "token_quantiles": _wrap(textstats.token_quantiles),
         "tfidf_topk": _wrap(textstats.tfidf_topk),
         "text_heavy_hitters": _wrap(textstats.heavy_hitters),
@@ -221,6 +222,7 @@ WHERE ag.doc_id NOT IN (SELECT doc_id FROM near_losers)
 
 def ops_oracles():
     from hebrew_ner_ray.fixtures.oracle import CORPUS_CTE
+    from hebrew_ner_ray.ops import relational
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_bands = MINHASH_K // MINHASH_BAND
@@ -568,6 +570,29 @@ WHERE c.c_acctbal > 0.0
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND strftime(o.o_orderdate, '%Y-%m-%d') >= '2000-06-01')
 GROUP BY n.n_name
+""",
+        # Q5 shape: note the cross-side c_nationkey = s_nationkey filter —
+        # the Ray plan resolves it inside the orderkey-partitioned join
+        "local_supplier_revenue": f"""
+WITH rn AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{relational.Q5_REGION}'
+)
+SELECT rn.n_name AS n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN rn ON s_nationkey = rn.n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= DATE '{relational.Q5_LO}'
+  AND o_orderdate < DATE '{relational.Q5_HI}'
+GROUP BY rn.n_name
+ORDER BY revenue_cents DESC, n_name
 """,
         "returned_item_revenue": """
 WITH r AS (

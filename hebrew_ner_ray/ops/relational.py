@@ -669,3 +669,210 @@ def returned_item_revenue(sf_dir: str, k: int = 20):
         return out.astype(_Q10_COLS)
 
     return small_key_aggregate(partials, final_topk)
+
+
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+_Q5_COLS = {"n_name": "object", "revenue_cents": "int64", "n_lineitems": "int64"}
+_Q5_MID = {"l_orderkey": "int64", "nat": "int64", "revenue_cents": "int64",
+           "n_li": "int64", "side": "int64"}
+_Q5_PART = {"nat": "int64", "revenue_cents": "int64", "n_li": "int64"}
+
+
+def local_supplier_revenue(sf_dir: str,
+                           broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
+    """TPC-H Q5 shape — the multiway join whose distinguishing feature is
+    a CROSS-SIDE equality (c_nationkey = s_nationkey) that no single
+    broadcast can resolve: the customer's nation arrives through the
+    orders side and the supplier's nation through the lineitem side, and
+    they only meet in the orderkey-partitioned join.
+
+    Plan: region+nation (≤ a few hundred rows at any scale) are read on
+    the driver; supplier keys in the region are broadcast once (10k×SF
+    rows — ~80 MB of int64 pairs at SF=10k, the same per-worker budget as
+    revenue_by_nation's dimension arm). Customer is size-aware like
+    revenue_by_nation: its (custkey → nationkey) map is broadcast under
+    ``broadcast_dim_limit`` rows and resolved by a custkey exchange above
+    it. Lineitem revenue is combined per (orderkey, supplier-nation)
+    inside each batch before the single big exchange on orderkey, where
+    the cross-side filter and a per-partition partial sum by nation run;
+    the final reduce is 25 rows."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].astype("int64"))
+    nat = nat[nat["n_regionkey"].astype("int64").isin(rkeys)]
+    names = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    region_nations = np.sort(np.fromiter(names, dtype=np.int64))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype("int64").isin(names)]
+    sup = sup.sort_values("s_suppkey")
+    supkey_ref = ray.put(sup["s_suppkey"].to_numpy(dtype=np.int64))
+    supnat_ref = ray.put(sup["s_nationkey"].to_numpy(dtype=np.int64))
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+        """searchsorted inner-join probe: (mask, matched values)."""
+        if len(keys) == 0:
+            return np.zeros(len(probe), dtype=bool), np.empty(0, dtype=np.int64)
+        pos = np.searchsorted(keys, probe)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == probe
+        return hit, vals[pos[hit]]
+
+    class LineSide:
+        def __init__(self):
+            self.keys = ray.get(supkey_ref)
+            self.nats = ray.get(supnat_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            hit, snat = _lookup(self.keys, self.nats,
+                                b["l_suppkey"].to_numpy(dtype=np.int64))
+            b = b[hit]
+            rev = np.floor(b["l_extendedprice"].to_numpy()
+                           * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+            g = (pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                               "nat": snat, "revenue_cents": rev})
+                 .groupby(["l_orderkey", "nat"], as_index=False)
+                 .agg(revenue_cents=("revenue_cents", "sum"),
+                      n_li=("revenue_cents", "size")))
+            g["side"] = np.ones(len(g), dtype=np.int64)
+            return g[list(_Q5_MID)].astype(_Q5_MID)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(LineSide, batch_format="pandas", concurrency=default_concurrency())
+
+    def _order_frame(okey: np.ndarray, cnat: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": okey, "nat": cnat,
+             "revenue_cents": np.zeros(len(okey), dtype=np.int64),
+             "n_li": np.zeros(len(okey), dtype=np.int64),
+             "side": np.zeros(len(okey), dtype=np.int64)}
+        ).astype(_Q5_MID)
+
+    n_customers = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_customers <= broadcast_dim_limit:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust[cust["c_nationkey"].astype("int64").isin(names)]
+        cust = cust.sort_values("c_custkey")
+        ckey_ref = ray.put(cust["c_custkey"].to_numpy(dtype=np.int64))
+        cnat_ref = ray.put(cust["c_nationkey"].to_numpy(dtype=np.int64))
+
+        class OrderSide:
+            def __init__(self):
+                self.keys = ray.get(ckey_ref)
+                self.nats = ray.get(cnat_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                d = b["o_orderdate"].astype(str)
+                b = b[(d >= Q5_LO) & (d < Q5_HI)]
+                hit, cnat = _lookup(self.keys, self.nats,
+                                    b["o_custkey"].to_numpy(dtype=np.int64))
+                return _order_frame(
+                    b["o_orderkey"].to_numpy(dtype=np.int64)[hit], cnat)
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(OrderSide, batch_format="pandas",
+                      concurrency=default_concurrency())
+    else:
+        orders = _orders_with_cust_nation(sf_dir, region_nations)
+
+    def join_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q5_PART)
+        o = part[part["side"] == 0][["l_orderkey", "nat"]].rename(
+            columns={"nat": "c_nat"})
+        li = part[part["side"] == 1]
+        m = li.merge(o, on="l_orderkey")
+        m = m[m["nat"] == m["c_nat"]]
+        if m.empty:
+            return typed_empty(_Q5_PART)
+        g = m.groupby("nat", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_li=("n_li", "sum"))
+        return g[list(_Q5_PART)].astype(_Q5_PART)
+
+    partials = bucketed_aggregate(orders.union(lines), ["l_orderkey"],
+                                  join_part, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q5_COLS)
+        out = g.groupby("nat", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_lineitems=("n_li", "sum"))
+        out["n_name"] = out["nat"].map(names)
+        out = out.sort_values(["revenue_cents", "n_name"],
+                              ascending=[False, True]).reset_index(drop=True)
+        return out[list(_Q5_COLS)].astype(_Q5_COLS)
+
+    return small_key_aggregate(partials, final)
+
+
+def _orders_with_cust_nation(sf_dir: str, region_nations: np.ndarray):
+    """Exchange arm for Q5's customer dimension: custkey exchange joining
+    date-filtered orders with region-filtered customers, emitting the
+    (orderkey, customer-nation) mid-frame rows (side 0)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _CK = {"c_custkey": "int64", "l_orderkey": "int64", "nat": "int64",
+           "side2": "int64"}
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].astype(str)
+        b = b[(d >= Q5_LO) & (d < Q5_HI)]
+        return pd.DataFrame(
+            {"c_custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+             "l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+             "nat": np.zeros(len(b), dtype=np.int64),
+             "side2": np.zeros(len(b), dtype=np.int64)}
+        ).astype(_CK)
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[np.isin(b["c_nationkey"].to_numpy(dtype=np.int64), region_nations)]
+        return pd.DataFrame(
+            {"c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+             "l_orderkey": np.zeros(len(b), dtype=np.int64),
+             "nat": b["c_nationkey"].to_numpy(dtype=np.int64),
+             "side2": np.ones(len(b), dtype=np.int64)}
+        ).astype(_CK)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pandas")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_side, batch_format="pandas")
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q5_MID)
+        c = part[part["side2"] == 1][["c_custkey", "nat"]]
+        o = part[part["side2"] == 0][["c_custkey", "l_orderkey"]]
+        m = o.merge(c, on="c_custkey")
+        return pd.DataFrame(
+            {"l_orderkey": m["l_orderkey"].to_numpy(dtype=np.int64),
+             "nat": m["nat"].to_numpy(dtype=np.int64),
+             "revenue_cents": np.zeros(len(m), dtype=np.int64),
+             "n_li": np.zeros(len(m), dtype=np.int64),
+             "side": np.zeros(len(m), dtype=np.int64)}
+        ).astype(_Q5_MID)
+
+    return bucketed_aggregate(orders.union(cust), ["c_custkey"], join,
+                              coalesce=partitions_for())

@@ -959,3 +959,16 @@ def test_running_total_tiebreak_and_first_gap(ray_session, tmp_path):
     assert out["prev_gap_us"].tolist() == [-1, 0, 2_000_000, -1]
     assert out["running_value_micro"].tolist() == [
         2_250_000, 3_750_000, 7_750_000, 8_000_000]
+
+
+def test_local_supplier_revenue_exchange_arm_matches_broadcast(ray_session):
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.relational import local_supplier_revenue
+
+    bc = local_supplier_revenue(SF).to_pandas()
+    ex = local_supplier_revenue(SF, broadcast_dim_limit=0).to_pandas()
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(
+        ex.sort_values("n_name").reset_index(drop=True),
+        bc.sort_values("n_name").reset_index(drop=True), check_dtype=False)
