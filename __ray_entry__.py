@@ -59,6 +59,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
     def kg_edges(sf_dir: str):
         return build_edges(annotated(sf_dir, "triples"))
 
+    def kg_triangles(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import triangle_stats
+
+        return triangle_stats(build_edges(annotated(sf_dir, "triples"),
+                                          sort=False))
+
     def kg_span_invariant(sf_dir: str):
         import pandas as pd
 
@@ -137,6 +143,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _ner("triples"),
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_triangles": kg_triangles,
         "kg_span_invariant": kg_span_invariant,
     }
 
@@ -165,6 +172,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_triples": o.sql_triples(),
         "kg_nodes": o.sql_nodes(),
         "kg_edges": o.sql_edges(),
+        "kg_triangles": o.sql_triangles(),
         "kg_span_invariant": o.sql_span_invariant(),
     }
 

@@ -317,3 +317,40 @@ def sql_span_invariant() -> str:
        CAST(count(*) AS BIGINT) AS n_ok
 FROM documents
 """
+
+
+def sql_triangles() -> str:
+    """Triangle census of the undirected entity graph derived from
+    :func:`sql_edges` — the 3-way self-join twin of the engine's
+    degree-oriented wedge counting (kg/graphstats.py)."""
+    return f"""WITH eg AS (
+{sql_edges()}
+),
+und AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+wg AS (
+  SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg
+)
+SELECT wg.n_nodes AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       wg.w AS n_wedges,
+       tri.t AS n_triangles,
+       CAST(CASE WHEN wg.w = 0 THEN 0
+                 ELSE (3000000 * tri.t) // wg.w END AS BIGINT) AS cluster_ppm
+FROM wg, tri
+"""

@@ -1,0 +1,218 @@
+"""Graph analytics over the knowledge-graph edge table.
+
+Triangle counting via the degree-oriented node-iterator (the classic
+O(m^{3/2})-wedge bound): orient every undirected edge from its
+lower-(degree, id) endpoint to the higher one, generate wedges only
+between a node's out-neighbors, and close them against the oriented
+edge set. Each triangle is generated exactly once — by its
+lowest-order vertex — so the count needs no dedup.
+
+Every step is a keyed exchange + per-partition vectorized kernel; the
+only materialized datasets are edge-sized (the distinct undirected
+edge set and its oriented twin), which Ray keeps in the object store
+and spills as needed. Nothing node- or edge-sized reaches the driver:
+the driver only pulls the five final scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_UND = {"a": "int64", "b": "int64"}
+_DEG = {"node": "int64", "d": "int64"}
+_ATT = {"k": "int64", "other": "int64", "d_other": "int64", "side": "int64"}
+_ORI = {"src": "int64", "dst": "int64", "dst_deg": "int64"}
+_PAIR = {"x": "int64", "y": "int64", "side": "int64"}
+_TRI_COLS = {"n_nodes": "int64", "n_edges": "int64", "n_wedges": "int64",
+             "n_triangles": "int64", "cluster_ppm": "int64"}
+
+
+def _distinct_undirected(edges_ds):
+    """(subj, obj, pred)* → distinct {min, max} node pairs, self-loops
+    dropped; per-batch dedup combiner, then a (a, b)-keyed exchange so
+    each pair lands wholly in one partition."""
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    def to_und(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["subj_id"].to_numpy(dtype=np.int64)
+        o = b["obj_id"].to_numpy(dtype=np.int64)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        out = pd.DataFrame({"a": np.minimum(s, o), "b": np.maximum(s, o)})
+        return out.drop_duplicates().astype(_UND)
+
+    def dedup(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_UND)
+        return p.drop_duplicates().astype(_UND)
+
+    return bucketed_aggregate(edges_ds.map_batches(to_und, batch_format="pandas"),
+                              ["a", "b"], dedup, coalesce=partitions_for())
+
+
+def _degrees(und):
+    """Per-node undirected degree: endpoint-count combiner per batch →
+    node-keyed aggregate."""
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ends = np.concatenate([b["a"].to_numpy(dtype=np.int64),
+                               b["b"].to_numpy(dtype=np.int64)])
+        node, cnt = np.unique(ends, return_counts=True)
+        return pd.DataFrame({"node": node, "d": cnt.astype(np.int64)})
+
+    def reduce(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_DEG)
+        return (p.groupby("node", as_index=False).agg(d=("d", "sum"))
+                .astype(_DEG))
+
+    return bucketed_aggregate(und.map_batches(partial, batch_format="pandas"),
+                              ["node"], reduce, coalesce=partitions_for())
+
+
+def _attach_degree(pairs, deg, key_col: str, other_col: str):
+    """One exchange attaching deg[key] to each edge row: edge rows
+    (side 0) and degree rows (side 1) co-partitioned on the node key."""
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b[key_col].to_numpy(dtype=np.int64),
+             "other": b[other_col].to_numpy(dtype=np.int64),
+             "d_other": b["d_other"].to_numpy(dtype=np.int64)
+             if "d_other" in b.columns else np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_ATT)
+
+    def deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b["node"].to_numpy(dtype=np.int64),
+             "other": np.zeros(n, dtype=np.int64),
+             "d_other": b["d"].to_numpy(dtype=np.int64),
+             "side": np.ones(n, dtype=np.int64)}).astype(_ATT)
+
+    _OUT = {"k": "int64", "other": "int64", "d_other": "int64", "d_k": "int64"}
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        d = p[p["side"] == 1][["k", "d_other"]].rename(columns={"d_other": "d_k"})
+        e = p[p["side"] == 0].drop(columns=["side"])
+        return e.merge(d, on="k").astype(_OUT)
+
+    u = pairs.map_batches(edge_rows, batch_format="pandas").union(
+        deg.map_batches(deg_rows, batch_format="pandas"))
+    return bucketed_aggregate(u, ["k"], join, coalesce=partitions_for())
+
+
+def triangle_stats(edges_ds) -> pd.DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    undirected entity graph. Returns one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, cluster_ppm) where
+    n_wedges = Σ C(d, 2) over undirected degrees and
+    cluster_ppm = floor(3e6 · triangles / wedges) (0 when wedge-free) —
+    both integer-exact, mirrored in the SQL oracle."""
+    import ray.data  # noqa: F401 — edges_ds is a Dataset
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    und = _distinct_undirected(edges_ds).materialize()
+    n_edges = und.count()
+    deg = _degrees(und).materialize()
+    n_nodes = deg.count()
+
+    # Σ C(d,2): per-block partial, one-task final (block-count rows)
+    def wedge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["d"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+
+    n_wedges = int(
+        deg.map_batches(wedge_partial, batch_format="pandas").sum("w") or 0)
+
+    # attach both endpoint degrees (two node-keyed exchanges), orient
+    with_da = _attach_degree(und.select_columns(["a", "b"]).map_batches(
+        lambda b: b.assign(d_other=np.zeros(len(b), dtype=np.int64)),
+        batch_format="pandas"), deg, "a", "b")
+    # first hop attached deg(a) as d_k; rekey on b carrying deg(a) along
+    rekeyed = with_da.map_batches(
+        lambda b: pd.DataFrame({"a": b["other"], "b": b["k"],
+                                "d_other": b["d_k"]}),
+        batch_format="pandas")
+    # after the rekey: k = the original 'b' endpoint, other = 'a',
+    # d_other = deg(a) (carried through), d_k = deg(b)
+    both = _attach_degree(rekeyed, deg, "a", "b")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _ORI.items()})
+        kb = b["k"].to_numpy(dtype=np.int64)        # endpoint b
+        ka = b["other"].to_numpy(dtype=np.int64)    # endpoint a
+        db = b["d_k"].to_numpy(dtype=np.int64)
+        da = b["d_other"].to_numpy(dtype=np.int64)
+        # total order: (deg, id) ascending — a precedes b?
+        a_first = (da < db) | ((da == db) & (ka < kb))
+        src = np.where(a_first, ka, kb)
+        dst = np.where(a_first, kb, ka)
+        dst_deg = np.where(a_first, db, da)
+        return pd.DataFrame({"src": src, "dst": dst,
+                             "dst_deg": dst_deg}).astype(_ORI)
+
+    oriented = both.map_batches(orient, batch_format="pandas").materialize()
+
+    # wedges: per src, all out-neighbor pairs ordered by (deg, id) so the
+    # wedge key IS the closing edge's oriented key
+    def wedges(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PAIR)
+        outs = []
+        for _, g in p.groupby("src", sort=False):
+            k = len(g)
+            if k < 2:
+                continue
+            order = np.lexsort((g["dst"].to_numpy(), g["dst_deg"].to_numpy()))
+            nb = g["dst"].to_numpy(dtype=np.int64)[order]
+            i, j = np.triu_indices(k, 1)
+            outs.append(pd.DataFrame({"x": nb[i], "y": nb[j]}))
+        if not outs:
+            return typed_empty(_PAIR)
+        w = pd.concat(outs, ignore_index=True)
+        w["side"] = np.zeros(len(w), dtype=np.int64)
+        return w.astype(_PAIR)
+
+    wedge_ds = bucketed_aggregate(oriented, ["src"], wedges,
+                                  coalesce=partitions_for())
+
+    def edge_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"x": b["src"].to_numpy(dtype=np.int64),
+             "y": b["dst"].to_numpy(dtype=np.int64),
+             "side": np.ones(len(b), dtype=np.int64)}).astype(_PAIR)
+
+    closing = wedge_ds.union(oriented.map_batches(edge_pairs,
+                                                  batch_format="pandas"))
+
+    def close_count(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({"t": pd.Series(dtype="int64")})
+        e = p[p["side"] == 1][["x", "y"]]
+        w = p[p["side"] == 0][["x", "y"]]
+        m = w.merge(e, on=["x", "y"])
+        return pd.DataFrame({"t": [int(len(m))]})
+
+    tri_parts = bucketed_aggregate(closing, ["x", "y"], close_count,
+                                   coalesce=partitions_for())
+    n_triangles = int(tri_parts.sum("t") or 0)
+
+    cluster_ppm = (3_000_000 * n_triangles) // n_wedges if n_wedges else 0
+    return pd.DataFrame(
+        {"n_nodes": [n_nodes], "n_edges": [n_edges], "n_wedges": [n_wedges],
+         "n_triangles": [n_triangles], "cluster_ppm": [cluster_ppm]}
+    ).astype(_TRI_COLS)

@@ -972,3 +972,35 @@ def test_local_supplier_revenue_exchange_arm_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         ex.sort_values("n_name").reset_index(drop=True),
         bc.sort_values("n_name").reset_index(drop=True), check_dtype=False)
+
+
+def test_triangle_stats_known_graph(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5-1; duplicate edges and a
+    # reverse-direction duplicate must collapse in the distinct step
+    e = pd.DataFrame(
+        {
+            "subj_id": [1, 1, 1, 2, 2, 3, 5, 3, 1],
+            "obj_id": [2, 3, 4, 3, 4, 4, 1, 2, 2],
+            "pred": ["p"] * 9,
+            "weight": [1] * 9,
+        }
+    )
+    out = triangle_stats(ray.data.from_pandas(e))
+    row = out.iloc[0]
+    assert row["n_edges"] == 7
+    assert row["n_nodes"] == 5
+    # degrees: 1→4, 2→3, 3→3, 4→3, 5→1 → wedges = 6+3+3+3+0 = 15
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert row["cluster_ppm"] == (3_000_000 * 4) // 15
+
+    # triangle-free star
+    s = pd.DataFrame({"subj_id": [1, 1, 1], "obj_id": [2, 3, 4],
+                      "pred": ["p"] * 3, "weight": [1] * 3})
+    out2 = triangle_stats(ray.data.from_pandas(s))
+    assert out2.iloc[0]["n_triangles"] == 0
+    assert out2.iloc[0]["cluster_ppm"] == 0
