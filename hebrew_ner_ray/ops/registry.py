@@ -105,6 +105,7 @@ def ops_queries():
         "token_quantiles": _wrap(textstats.token_quantiles),
         "tfidf_topk": _wrap(textstats.tfidf_topk),
         "text_heavy_hitters": _wrap(textstats.heavy_hitters),
+        "doc_global_rank": _wrap(textstats.doc_global_rank),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -631,6 +632,17 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # exact global ROW_NUMBER — engine computes it as histogram
+        # prefix-offsets + per-count ordinals, no global sort
+        "doc_global_rank": r"""
+WITH h AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_ws_tokens,
+       CAST(row_number() OVER (ORDER BY n, doc_id) AS BIGINT) AS global_rank
+FROM h
 """,
         # corpus-wide top-k tokens; tie-break (total_tf DESC, token ASC)
         # matches the engine's per-partition/final mergesort exactly

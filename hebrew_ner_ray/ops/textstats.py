@@ -506,3 +506,79 @@ def heavy_hitters(sf_dir: str, k: int = HEAVY_K):
         return out[list(_HH_COLS)].astype(_HH_COLS)
 
     return small_key_aggregate(agg, final)
+
+
+_RANK_COLS = {"doc_id": "int64", "n_ws_tokens": "int64", "global_rank": "int64"}
+
+
+def doc_global_rank(sf_dir: str):
+    """EXACT global ranking (ROW_NUMBER over the whole corpus, ordered by
+    token count then doc_id) WITHOUT a global sort.
+
+    rank(d) = #docs with smaller count + ordinal of d among equal-count
+    docs. The first term comes from a count histogram — domain-sized
+    (bounded by the longest document, not the corpus), so the cumulative
+    offsets are a tiny broadcast. The second term is computed inside a
+    count-keyed exchange where each partition holds complete count
+    groups: one vectorized mergesort + groupby-cumcount per partition.
+    Two small exchanges total; nothing corpus-sized is sorted globally
+    or touches the driver. Equal-count skew concentrates a hot count
+    value in one partition — same per-key contract as sessionization; a
+    100-TB deploy salts the ordinal step by doc_id ranges per count."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        sized_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+             "n": b["text"].str.count(r"\S+").to_numpy(dtype=np.int64)}
+        )
+
+    proj = ds.map_batches(project, batch_format="pandas").materialize()
+
+    _H = {"n": "int64", "cnt": "int64"}
+
+    def hist_part(b: pd.DataFrame) -> pd.DataFrame:
+        n, c = np.unique(b["n"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"n": n, "cnt": c.astype(np.int64)})
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_H)
+        return g.groupby("n", as_index=False).agg(cnt=("cnt", "sum")).astype(_H)
+
+    hist = sized_aggregate(proj.map_batches(hist_part, batch_format="pandas"),
+                           ["n"], hist_sum).to_pandas().sort_values("n")
+    n_vals = hist["n"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(hist["cnt"].to_numpy())[:-1]]).astype(np.int64)
+    off_ref = ray.put((n_vals, offsets))
+
+    class Ranker:
+        def __init__(self):
+            self.n_vals, self.offsets = ray.get(off_ref)
+
+        def __call__(self, p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_RANK_COLS)
+            p = p.sort_values(["n", "doc_id"], kind="mergesort")
+            ordinal = p.groupby("n", sort=False).cumcount().to_numpy()
+            base = self.offsets[np.searchsorted(self.n_vals,
+                                                p["n"].to_numpy())]
+            return pd.DataFrame(
+                {"doc_id": p["doc_id"].to_numpy(),
+                 "n_ws_tokens": p["n"].to_numpy(),
+                 "global_rank": base + ordinal + 1}
+            ).astype(_RANK_COLS)
+
+    return bucketed_aggregate(proj, ["n"], Ranker(),
+                              coalesce=partitions_for())

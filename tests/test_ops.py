@@ -1004,3 +1004,26 @@ def test_triangle_stats_known_graph(ray_session):
     out2 = triangle_stats(ray.data.from_pandas(s))
     assert out2.iloc[0]["n_triangles"] == 0
     assert out2.iloc[0]["cluster_ppm"] == 0
+
+
+def test_doc_global_rank_ties_across_blocks(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import doc_global_rank
+
+    # many docs sharing token counts, written as several row groups so
+    # equal-count docs start in different blocks
+    ids = list(range(40))
+    texts = [("w " * ((i % 4) + 1)).strip() for i in ids]  # counts 1..4
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    pq.write_table(tbl, tmp_path / "documents.parquet", row_group_size=7)
+
+    out = (doc_global_rank(str(tmp_path)).to_pandas()
+           .sort_values("global_rank").reset_index(drop=True))
+    assert len(out) == 40
+    # ranks are a permutation of 1..40
+    assert out["global_rank"].tolist() == list(range(1, 41))
+    # ordered by (count, doc_id)
+    expect = sorted(ids, key=lambda i: ((i % 4) + 1, i))
+    assert out["doc_id"].tolist() == expect
