@@ -93,6 +93,8 @@ def ops_queries():
         "events_props_stats": _wrap(windows.events_props_stats),
         "events_window_distinct": _wrap(windows.events_window_distinct),
         "events_running_total": _wrap(windows.events_running_total),
+        "events_mode_type": _wrap(windows.events_mode_type),
+        "nation_coverage": _wrap(relational.nation_coverage),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -703,6 +705,30 @@ GROUP BY window_us
         # JSON k extraction, bucketed by tens, exact micro-unit sums.
         # floor(k/10), NOT DuckDB's // (truncation) — they differ on
         # negative k (numpy's // floors)
+        # argmax aggregate: tie-break (n DESC, type ASC) pinned both sides
+        "events_mode_type": """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rk FROM c)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS top_event_type,
+       n AS n_events
+FROM r WHERE rk = 1
+""",
+        # FULL OUTER shape: every nation appears, zero-filled sides
+        "nation_coverage": """
+SELECT n_name,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_customers,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_suppliers
+FROM nation
+LEFT JOIN (SELECT c_nationkey, count(*) AS n FROM customer
+           GROUP BY c_nationkey) c ON n_nationkey = c.c_nationkey
+LEFT JOIN (SELECT s_nationkey, count(*) AS n FROM supplier
+           GROUP BY s_nationkey) s ON n_nationkey = s.s_nationkey
+ORDER BY n_name
+""",
         # window functions over the event stream: same (ts, event_id)
         # tie-break window as the engine's per-partition mergesort;
         # first-event gap pinned to -1 (engine avoids nullable ints)

@@ -876,3 +876,53 @@ def _orders_with_cust_nation(sf_dir: str, region_nations: np.ndarray):
 
     return bucketed_aggregate(orders.union(cust), ["c_custkey"], join,
                               coalesce=partitions_for())
+
+
+_COV_COLS = {"n_name": "object", "n_customers": "int64", "n_suppliers": "int64"}
+
+
+def nation_coverage(sf_dir: str):
+    """FULL OUTER join shape: per nation, customer and supplier counts
+    with zeros where a side is absent. Both fact sides collapse to
+    ≤ 25-row partial counts inside map_batches (nothing row-sized is
+    exchanged); the one-task final outer-merges the two partial sets
+    onto the nation dimension read on the driver (dimension tables are
+    O(100) rows at any scale)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    names = pq.read_table(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    names["n_nationkey"] = names["n_nationkey"].astype("int64")
+
+    def side_counts(col: str, side: int):
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            k, c = np.unique(b[col].to_numpy(dtype=np.int64), return_counts=True)
+            return pd.DataFrame({"nk": k, "n": c.astype(np.int64),
+                                 "side": np.full(len(k), side, dtype=np.int64)})
+
+        return run
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"]).map_batches(
+        side_counts("c_nationkey", 0), batch_format="pandas")
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey"]).map_batches(
+        side_counts("s_nationkey", 1), batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_COV_COLS)
+        c = (g[g["side"] == 0].groupby("nk", as_index=False).agg(
+            n_customers=("n", "sum")))
+        s = (g[g["side"] == 1].groupby("nk", as_index=False).agg(
+            n_suppliers=("n", "sum")))
+        out = names.rename(columns={"n_nationkey": "nk"}).merge(
+            c, on="nk", how="left").merge(s, on="nk", how="left")
+        out["n_customers"] = out["n_customers"].fillna(0).astype("int64")
+        out["n_suppliers"] = out["n_suppliers"].fillna(0).astype("int64")
+        return (out.sort_values("n_name").reset_index(drop=True)
+                [list(_COV_COLS)].astype(_COV_COLS))
+
+    return small_key_aggregate(cust.union(sup), merge)

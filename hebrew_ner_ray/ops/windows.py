@@ -489,3 +489,39 @@ def events_running_total(sf_dir: str):
 
     return bucketed_aggregate(ds.map_batches(project, batch_format="pandas"),
                               ["user_id"], per_partition, coalesce=partitions_for())
+
+
+_MODE_COLS = {"user_id": "int64", "top_event_type": "object", "n_events": "int64"}
+
+
+def events_mode_type(sf_dir: str):
+    """Per-user modal event type (argmax aggregate). The per-batch
+    (user, type) count combiner shrinks the exchange to distinct pairs;
+    each complete-user partition picks the winner vectorized — one
+    mergesort by (user, n DESC, type) + groupby-head. Tie-break pinned:
+    higher count, then lexicographically smaller type — the same window
+    stated in the SQL oracle."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["user_id", "event_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def pick(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_MODE_COLS)
+        g = p.groupby(["user_id", "event_type"], as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("user_id", sort=False).head(1)
+        return (top.rename(columns={"event_type": "top_event_type",
+                                    "n": "n_events"})
+                [list(_MODE_COLS)].astype(_MODE_COLS))
+
+    return bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                              ["user_id"], pick, coalesce=partitions_for())

@@ -1027,3 +1027,45 @@ def test_doc_global_rank_ties_across_blocks(ray_session, tmp_path):
     # ordered by (count, doc_id)
     expect = sorted(ids, key=lambda i: ((i % 4) + 1, i))
     assert out["doc_id"].tolist() == expect
+
+
+def test_events_mode_type_tiebreak(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_mode_type
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+            "event_type": ["b", "b", "a", "a", "z", "y"],
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_mode_type(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1: a and b tie at 2 → 'a' wins lexicographically
+    # user 2: z and y tie at 1 → 'y'
+    assert out["top_event_type"].tolist() == ["a", "y"]
+    assert out["n_events"].tolist() == [2, 1]
+
+
+def test_nation_coverage_zero_fills_missing_sides(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import nation_coverage
+
+    pq.write_table(pa.table({"n_nationkey": pa.array([0, 1, 2], type=pa.int64()),
+                             "n_name": ["AAA", "BBB", "CCC"]}),
+                   tmp_path / "nation.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2], type=pa.int64()),
+                             "c_nationkey": pa.array([0, 0], type=pa.int64())}),
+                   tmp_path / "customer.parquet")
+    pq.write_table(pa.table({"s_suppkey": pa.array([1], type=pa.int64()),
+                             "s_nationkey": pa.array([1], type=pa.int64())}),
+                   tmp_path / "supplier.parquet")
+    out = nation_coverage(str(tmp_path)).to_pandas()
+    assert out["n_name"].tolist() == ["AAA", "BBB", "CCC"]
+    assert out["n_customers"].tolist() == [2, 0, 0]
+    assert out["n_suppliers"].tolist() == [0, 1, 0]
