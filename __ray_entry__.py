@@ -65,6 +65,11 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return triangle_stats(build_edges(annotated(sf_dir, "triples"),
                                           sort=False))
 
+    def kg_pagerank(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import pagerank
+
+        return pagerank(build_edges(annotated(sf_dir, "triples"), sort=False))
+
     def kg_span_invariant(sf_dir: str):
         import pandas as pd
 
@@ -144,6 +149,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_triangles": kg_triangles,
+        "kg_pagerank": kg_pagerank,
         "kg_span_invariant": kg_span_invariant,
     }
 
@@ -173,6 +179,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_nodes": o.sql_nodes(),
         "kg_edges": o.sql_edges(),
         "kg_triangles": o.sql_triangles(),
+        "kg_pagerank": o.sql_pagerank(),
         "kg_span_invariant": o.sql_span_invariant(),
     }
 

@@ -354,3 +354,42 @@ SELECT wg.n_nodes AS n_nodes,
                  ELSE (3000000 * tri.t) // wg.w END AS BIGINT) AS cluster_ppm
 FROM wg, tri
 """
+
+
+def sql_pagerank(iters: int = 3) -> str:
+    """Unrolled integer PageRank twin of kg/graphstats.pagerank: the
+    same pinned floor divisions per round (contribution r // d, damping
+    85·s // 100, teleport 15% of SCALE // N), one CTE pair per
+    iteration."""
+    scale = 1_000_000_000_000
+    base = scale * 15 // 100  # exact: 150_000_000_000
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""c{i} AS (
+  SELECT s.v AS node, CAST(sum(p.r // p.d) AS BIGINT) AS c
+  FROM sym s JOIN {prev} p ON s.u = p.node GROUP BY s.v
+),
+r{i} AS (
+  SELECT d.node AS node, d.d AS d,
+         CAST(({base} // nn.n) + ((85 * coalesce(c.c, 0)) // 100) AS BIGINT)
+           AS r
+  FROM deg d LEFT JOIN c{i} c ON d.node = c.node, nn
+)""")
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    return f"""WITH eg AS (
+{sql_edges()}
+),
+und AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT deg.node, deg.d, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM deg, nn),
+{body}
+SELECT node AS entity_id, r AS rank_pico FROM {prev} ORDER BY entity_id
+"""

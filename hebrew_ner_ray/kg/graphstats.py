@@ -216,3 +216,122 @@ def triangle_stats(edges_ds) -> pd.DataFrame:
         {"n_nodes": [n_nodes], "n_edges": [n_edges], "n_wedges": [n_wedges],
          "n_triangles": [n_triangles], "cluster_ppm": [cluster_ppm]}
     ).astype(_TRI_COLS)
+
+
+PR_SCALE = 1_000_000_000_000  # rank unit: 1e-12 of total mass
+PR_ITERS = 3
+
+_PR_COLS = {"entity_id": "int64", "rank_pico": "int64"}
+
+
+def pagerank(edges_ds, iters: int = PR_ITERS) -> "object":
+    """Damped PageRank (d = 0.85) on the symmetrized entity graph,
+    ``iters`` synchronous iterations — the iterative-algorithm shape
+    (bounded rounds of keyed exchanges with a materialize barrier per
+    iteration, like the connected-components arm).
+
+    All arithmetic is integer in pico-units (floor divisions pinned:
+    contribution = r // deg, damping = 85·s // 100, teleport =
+    (SCALE·15 // 100) // N), so every iteration is bit-reproducible and
+    the SQL oracle unrolls the identical rounds. Per iteration: one
+    exchange on the source key (rank → per-edge contributions) and one
+    on the destination (sum + degree re-attach) — edge-sized data moves,
+    node-sized state persists in the object store, nothing reaches the
+    driver but N."""
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    und = _distinct_undirected(edges_ds).materialize()
+    deg = _degrees(und).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return und.map_batches(
+            lambda b: pd.DataFrame({c: pd.Series(dtype=t)
+                                    for c, t in _PR_COLS.items()}),
+            batch_format="pandas")
+    base = (PR_SCALE * 15 // 100) // n_nodes
+    r0 = PR_SCALE // n_nodes
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas").materialize()
+
+    ranks = deg.map_batches(
+        lambda b: b.assign(r=np.full(len(b), r0, dtype=np.int64)),
+        batch_format="pandas").materialize()  # (node, d, r)
+
+    _EX1 = {"k": "int64", "v": "int64", "r": "int64", "d": "int64",
+            "side": "int64"}
+    _CTB = {"node": "int64", "c": "int64"}
+    _EX2 = {"node": "int64", "c": "int64", "d": "int64", "side": "int64"}
+    _RNK = {"node": "int64", "d": "int64", "r": "int64"}
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b["u"], "v": b["v"], "r": np.zeros(n, dtype=np.int64),
+             "d": np.zeros(n, dtype=np.int64),
+             "side": np.ones(n, dtype=np.int64)}).astype(_EX1)
+
+    def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b["node"], "v": np.zeros(n, dtype=np.int64),
+             "r": b["r"], "d": b["d"],
+             "side": np.zeros(n, dtype=np.int64)}).astype(_EX1)
+
+    def contrib(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CTB)
+        rk = p[p["side"] == 0][["k", "r", "d"]]
+        e = p[p["side"] == 1][["k", "v"]]
+        m = e.merge(rk, on="k")
+        # per-batch partial: pre-sum contributions by destination here so
+        # the second exchange ships ≤ distinct-destination rows
+        out = pd.DataFrame({"node": m["v"].to_numpy(dtype=np.int64),
+                            "c": (m["r"] // m["d"]).to_numpy(dtype=np.int64)})
+        return (out.groupby("node", as_index=False).agg(c=("c", "sum"))
+                .astype(_CTB))
+
+    def ctb_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"node": b["node"], "c": b["c"], "d": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_EX2)
+
+    def deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"node": b["node"], "c": np.zeros(n, dtype=np.int64),
+             "d": b["d"], "side": np.ones(n, dtype=np.int64)}).astype(_EX2)
+
+    for _ in range(iters):
+        u1 = sym.map_batches(edge_rows, batch_format="pandas").union(
+            ranks.map_batches(rank_rows, batch_format="pandas"))
+        contribs = bucketed_aggregate(u1, ["k"], contrib,
+                                      coalesce=partitions_for())
+
+        def newrank(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_RNK)
+            s = (p[p["side"] == 0].groupby("node", as_index=False)
+                 .agg(c=("c", "sum")))
+            dd = p[p["side"] == 1][["node", "d"]]
+            m = dd.merge(s, on="node", how="left")
+            c = m["c"].fillna(0).to_numpy(dtype=np.int64)
+            m["r"] = base + (85 * c) // 100
+            return m[list(_RNK)].astype(_RNK)
+
+        u2 = contribs.map_batches(ctb_rows, batch_format="pandas").union(
+            deg.map_batches(deg_rows, batch_format="pandas"))
+        ranks = bucketed_aggregate(u2, ["node"], newrank,
+                                   coalesce=partitions_for()).materialize()
+
+    out = ranks.map_batches(
+        lambda b: pd.DataFrame({"entity_id": b["node"],
+                                "rank_pico": b["r"]}).astype(_PR_COLS),
+        batch_format="pandas")
+    return out.sort("entity_id")

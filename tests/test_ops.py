@@ -1069,3 +1069,44 @@ def test_nation_coverage_zero_fills_missing_sides(ray_session, tmp_path):
     assert out["n_name"].tolist() == ["AAA", "BBB", "CCC"]
     assert out["n_customers"].tolist() == [2, 0, 0]
     assert out["n_suppliers"].tolist() == [0, 1, 0]
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import PR_SCALE, pagerank
+
+    rng = np.random.RandomState(7)
+    n = 60
+    a = rng.randint(0, n, 300)
+    b = rng.randint(0, n, 300)
+    keep = a != b
+    e = pd.DataFrame({"subj_id": a[keep], "obj_id": b[keep],
+                      "pred": "p", "weight": 1})
+    out = (pagerank(ray.data.from_pandas(e), iters=3).to_pandas()
+           .set_index("entity_id")["rank_pico"])
+
+    # reference: identical integer recurrence, dense numpy
+    und = set()
+    for s, o in zip(e["subj_id"], e["obj_id"]):
+        und.add((min(s, o), max(s, o)))
+    nodes = sorted({x for p in und for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for x, y in und:
+        deg[idx[x]] += 1
+        deg[idx[y]] += 1
+    nn = len(nodes)
+    base = (PR_SCALE * 15 // 100) // nn
+    r = np.full(nn, PR_SCALE // nn, dtype=np.int64)
+    for _ in range(3):
+        inc = np.zeros(nn, dtype=np.int64)
+        for x, y in und:
+            inc[idx[y]] += r[idx[x]] // deg[idx[x]]
+            inc[idx[x]] += r[idx[y]] // deg[idx[y]]
+        r = base + (85 * inc) // 100
+    expect = pd.Series(r, index=nodes)
+    assert len(out) == nn
+    assert (out.sort_index().to_numpy() == expect.sort_index().to_numpy()).all()
+    # total mass stays within rounding of SCALE
+    assert abs(int(out.sum()) - PR_SCALE) < nn * 100
