@@ -95,6 +95,7 @@ def ops_queries():
         "events_running_total": _wrap(windows.events_running_total),
         "events_mode_type": _wrap(windows.events_mode_type),
         "nation_coverage": _wrap(relational.nation_coverage),
+        "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -716,6 +717,15 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS top_event_type,
        n AS n_events
 FROM r WHERE rk = 1
+""",
+        # semi-join result is bloom-invisible: plain SQL twin
+        "bloom_semi_revenue": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '{relational.BLOOM_PRIORITY}')
 """,
         # FULL OUTER shape: every nation appears, zero-filled sides
         "nation_coverage": """

@@ -926,3 +926,142 @@ def nation_coverage(sf_dir: str):
                 [list(_COV_COLS)].astype(_COV_COLS))
 
     return small_key_aggregate(cust.union(sup), merge)
+
+
+BLOOM_PRIORITY = "1-URGENT"
+BLOOM_BITS = 1 << 20  # 128 KiB bitset — fixed size at ANY key cardinality
+_BLOOM_COLS = {"n_lineitems": "int64", "revenue_cents": "int64"}
+
+
+def _bloom_hashes(keys: np.ndarray, n_bits: int) -> tuple[np.ndarray, ...]:
+    """Three vectorized splitmix64-style hash positions per key. Engine-
+    internal only (the bloom never reaches the oracle), so a cheap numpy
+    mix beats per-key md5."""
+    x = keys.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    m = np.uint64(n_bits - 1)  # n_bits is a power of two
+    return (x & m, (x >> np.uint64(21)) & m, (x >> np.uint64(42)) & m)
+
+
+def _bloom_set(bits: np.ndarray, keys: np.ndarray, n_bits: int) -> None:
+    for h in _bloom_hashes(keys, n_bits):
+        # unbuffered accumulate: plain bits[idx] |= v drops updates when
+        # two keys land in the same word within one batch
+        np.bitwise_or.at(bits, h >> np.uint64(6),
+                         np.uint64(1) << (h & np.uint64(63)))
+
+
+def _bloom_test(bits: np.ndarray, keys: np.ndarray, n_bits: int) -> np.ndarray:
+    hit = np.ones(len(keys), dtype=bool)
+    for h in _bloom_hashes(keys, n_bits):
+        hit &= (bits[h >> np.uint64(6)] >> (h & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
+def bloom_semi_revenue(sf_dir: str, n_bits: int = BLOOM_BITS):
+    """Bloom-pruned EXACT semi-join: revenue of lineitems whose order is
+    {BLOOM_PRIORITY}-priority.
+
+    The scale pattern: when the build side's key set is too large to
+    broadcast exactly, broadcast a FIXED-size Bloom bitset instead
+    (128 KiB here regardless of key cardinality) and prune the probe
+    side map-side — no false negatives, so the subsequent exact
+    orderkey-exchange semi-join sees only survivors and the exchange
+    volume shrinks by the filter's selectivity while the answer stays
+    exact (false positives die in the partition join). The oracle is the
+    plain SQL semi-join: the bloom is invisible to the result."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+
+    def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b.loc[b["o_orderpriority"] == BLOOM_PRIORITY,
+                     "o_orderkey"].to_numpy(dtype=np.int64)
+        bits = np.zeros(n_bits // 64, dtype=np.uint64)
+        _bloom_set(bits, keys, n_bits)
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def bloom_or(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bits // 64, dtype=np.uint64)
+        for raw in g["bits"]:
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    merged = small_key_aggregate(
+        orders.map_batches(bloom_partial, batch_format="pandas"), bloom_or
+    ).to_pandas()
+    bloom_ref = ray.put(np.frombuffer(merged["bits"].iloc[0], dtype=np.uint64))
+
+    _MID = {"l_orderkey": "int64", "revenue_cents": "int64", "n_li": "int64",
+            "side": "int64"}
+
+    class ProbeSide:
+        def __init__(self):
+            self.bits = ray.get(bloom_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keys = b["l_orderkey"].to_numpy(dtype=np.int64)
+            b = b[_bloom_test(self.bits, keys, n_bits)]
+            rev = np.floor(b["l_extendedprice"].to_numpy()
+                           * (1 - b["l_discount"].to_numpy()) * 100
+                           ).astype(np.int64)
+            g = (pd.DataFrame({"l_orderkey": b["l_orderkey"]
+                               .to_numpy(dtype=np.int64),
+                               "revenue_cents": rev})
+                 .groupby("l_orderkey", as_index=False)
+                 .agg(revenue_cents=("revenue_cents", "sum"),
+                      n_li=("revenue_cents", "size")))
+            g["side"] = np.ones(len(g), dtype=np.int64)
+            return g[list(_MID)].astype(_MID)
+
+    def build_side(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b.loc[b["o_orderpriority"] == BLOOM_PRIORITY,
+                     "o_orderkey"].to_numpy(dtype=np.int64)
+        n = len(keys)
+        return pd.DataFrame(
+            {"l_orderkey": keys,
+             "revenue_cents": np.zeros(n, dtype=np.int64),
+             "n_li": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_MID)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(ProbeSide, batch_format="pandas",
+                  concurrency=default_concurrency())
+    keys_ds = orders.map_batches(build_side, batch_format="pandas")
+
+    _PART = {"revenue_cents": "int64", "n_li": "int64"}
+
+    def semi(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PART)
+        true_keys = p.loc[p["side"] == 0, "l_orderkey"]
+        li = p[p["side"] == 1]
+        m = li[li["l_orderkey"].isin(set(true_keys))]
+        return pd.DataFrame({"revenue_cents": [int(m["revenue_cents"].sum())],
+                             "n_li": [int(m["n_li"].sum())]})
+
+    partials = bucketed_aggregate(keys_ds.union(lines), ["l_orderkey"],
+                                  semi, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_BLOOM_COLS)
+        return pd.DataFrame(
+            {"n_lineitems": [int(g["n_li"].sum())],
+             "revenue_cents": [int(g["revenue_cents"].sum())]}
+        ).astype(_BLOOM_COLS)
+
+    return small_key_aggregate(partials, final)

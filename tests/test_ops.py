@@ -1110,3 +1110,38 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert (out.sort_index().to_numpy() == expect.sort_index().to_numpy()).all()
     # total mass stays within rounding of SCALE
     assert abs(int(out.sum()) - PR_SCALE) < nn * 100
+
+
+def test_bloom_no_false_negatives_and_exact_semi(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import (
+        _bloom_set,
+        _bloom_test,
+        bloom_semi_revenue,
+    )
+
+    # membership property: every inserted key tests positive, including
+    # same-word collisions within one insert batch
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 1 << 40, 5000).astype(np.int64)
+    nb = 1 << 14  # tiny bitset → collisions guaranteed
+    bits = np.zeros(nb // 64, dtype=np.uint64)
+    _bloom_set(bits, keys, nb)
+    assert _bloom_test(bits, keys, nb).all()
+
+    # end-to-end: tiny synthetic tables, exact vs pandas
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+         "o_orderpriority": ["1-URGENT", "5-LOW", "1-URGENT", "5-LOW"]}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+         "l_extendedprice": [100.0, 50.0, 999.0, 10.0, 999.0],
+         "l_discount": [0.1, 0.0, 0.0, 0.5, 0.0]}),
+        tmp_path / "lineitem.parquet")
+    out = bloom_semi_revenue(str(tmp_path)).to_pandas()
+    # urgent orders 1,3 → lines (100*0.9=90.00, 50.00, 10*0.5=5.00)
+    assert out["n_lineitems"].tolist() == [3]
+    assert out["revenue_cents"].tolist() == [9000 + 5000 + 500]
