@@ -148,6 +148,14 @@ def run_benchmarks() -> dict:
     from hebrew_ner_ray.ops.textstats import tfidf_topk
     timed("tfidf_topk", lambda: tfidf_topk(SF_DIR).count())
 
+    from hebrew_ner_ray.ops.relational import local_supplier_revenue
+    timed("local_supplier_revenue",
+          lambda: local_supplier_revenue(SF_DIR).count())
+
+    from hebrew_ner_ray.ops.windows import events_running_total
+    timed("events_running_total",
+          lambda: events_running_total(SF_DIR).count())
+
     ray.shutdown()
 
     headline = timings["kg_build"]
