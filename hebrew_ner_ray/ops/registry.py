@@ -96,6 +96,7 @@ def ops_queries():
         "events_mode_type": _wrap(windows.events_mode_type),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
+        "pricing_rollup": _wrap(relational.pricing_rollup),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -717,6 +718,20 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS top_event_type,
        n AS n_events
 FROM r WHERE rk = 1
+""",
+        # ROLLUP with GROUPING() bitmask; rolled keys render '' both sides
+        "pricing_rollup": """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag, l_linestatus
 """,
         # semi-join result is bloom-invisible: plain SQL twin
         "bloom_semi_revenue": f"""

@@ -1145,3 +1145,23 @@ def test_bloom_no_false_negatives_and_exact_semi(ray_session, tmp_path):
     # urgent orders 1,3 → lines (100*0.9=90.00, 50.00, 10*0.5=5.00)
     assert out["n_lineitems"].tolist() == [3]
     assert out["revenue_cents"].tolist() == [9000 + 5000 + 500]
+
+
+def test_pricing_rollup_levels_consistent(ray_session):
+    from hebrew_ner_ray.ops.relational import pricing_rollup
+
+    out = pricing_rollup(SF).to_pandas()
+    detail = out[out["lvl"] == 0]
+    flags = out[out["lvl"] == 1]
+    total = out[out["lvl"] == 3]
+    assert len(total) == 1
+    for col in ["sum_qty", "sum_disc_price_cents", "count_order"]:
+        assert detail[col].sum() == total[col].iloc[0]
+        assert flags[col].sum() == total[col].iloc[0]
+    # every flag subtotal equals the sum of its detail rows
+    for f, grp in detail.groupby("l_returnflag"):
+        sub = flags[flags["l_returnflag"] == f]
+        assert sub["count_order"].iloc[0] == grp["count_order"].sum()
+    # rolled-up key columns render as ''
+    assert (flags["l_linestatus"] == "").all()
+    assert (total["l_returnflag"] == "").all()
