@@ -94,6 +94,7 @@ def ops_queries():
         "events_window_distinct": _wrap(windows.events_window_distinct),
         "events_running_total": _wrap(windows.events_running_total),
         "events_mode_type": _wrap(windows.events_mode_type),
+        "events_sufficient_stats": _wrap(windows.events_sufficient_stats),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
@@ -227,7 +228,7 @@ WHERE ag.doc_id NOT IN (SELECT doc_id FROM near_losers)
 
 def ops_oracles():
     from hebrew_ner_ray.fixtures.oracle import CORPUS_CTE
-    from hebrew_ner_ray.ops import relational
+    from hebrew_ner_ray.ops import relational, windows
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_bands = MINHASH_K // MINHASH_BAND
@@ -707,6 +708,23 @@ GROUP BY window_us
         # JSON k extraction, bucketed by tens, exact micro-unit sums.
         # floor(k/10), NOT DuckDB's // (truncation) — they differ on
         # negative k (numpy's // floors)
+        # exact integer moment sums; centi-unit x pinned both sides
+        "events_sufficient_stats": f"""
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {windows.DAY_US}) * {windows.DAY_US} AS BIGINT)
+           AS day_us,
+         CAST(floor(value * 100) AS BIGINT) AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, day_us, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(k * k) AS BIGINT) AS sum_k2,
+       CAST(sum(x * k) AS BIGINT) AS sum_xk
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type, day_us
+""",
         # argmax aggregate: tie-break (n DESC, type ASC) pinned both sides
         "events_mode_type": """
 WITH c AS (

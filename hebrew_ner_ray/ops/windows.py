@@ -525,3 +525,62 @@ def events_mode_type(sf_dir: str):
 
     return bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
                               ["user_id"], pick, coalesce=partitions_for())
+
+
+DAY_US = 86_400 * 1_000_000
+
+_SUFF_COLS = {"event_type": "object", "day_us": "int64", "n": "int64",
+              "sum_x": "int64", "sum_x2": "int64", "sum_k": "int64",
+              "sum_k2": "int64", "sum_xk": "int64"}
+
+
+def events_sufficient_stats(sf_dir: str):
+    """Mergeable sufficient statistics per (event_type, day): n, Σx, Σx²,
+    Σk, Σk², Σxk with x = floor(value·100) (centi-units) and k the JSON
+    ``props.$.k`` integer. Everything downstream — variance, covariance,
+    correlation, OLS slope — is a driver-side O(groups) formula over
+    these exact integers; the distributed part ships ≤ #groups rows per
+    block (classic moment-sketch combiner).
+
+    int64 bound: at this value domain (x ≤ ~5.7e4, k ≤ ~100) the second
+    moments stay exact past 1e9 rows per (type, day) group; a deployment
+    beyond that promotes the Σx²/Σxk partials to a (hi, lo) 128-bit
+    split — the combiner shape is unchanged."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "props", "value"])
+
+    sum_cols = ["n", "sum_x", "sum_x2", "sum_k", "sum_k2", "sum_xk"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        keep = k.notna()
+        if not keep.any():
+            return typed_empty(_SUFF_COLS)
+        b = b[keep]
+        kk = k[keep].astype(np.int64).to_numpy()
+        x = np.floor(b["value"].to_numpy() * 100).astype(np.int64)
+        day = (_epoch_us(b["ts"]).to_numpy() // DAY_US) * DAY_US
+        g = (pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(), "day_us": day,
+             "n": np.ones(len(b), dtype=np.int64), "sum_x": x,
+             "sum_x2": x * x, "sum_k": kk, "sum_k2": kk * kk,
+             "sum_xk": x * kk})
+            .groupby(["event_type", "day_us"], as_index=False)[sum_cols]
+            .sum())
+        return g[list(_SUFF_COLS)].astype(_SUFF_COLS)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_SUFF_COLS)
+        out = (g.groupby(["event_type", "day_us"], as_index=False)[sum_cols]
+               .sum())
+        return out[list(_SUFF_COLS)].astype(_SUFF_COLS)
+
+    return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type", "day_us"], merge)

@@ -1165,3 +1165,25 @@ def test_pricing_rollup_levels_consistent(ray_session):
     # rolled-up key columns render as ''
     assert (flags["l_linestatus"] == "").all()
     assert (total["l_returnflag"] == "").all()
+
+
+def test_sufficient_stats_reconstruct_correlation(ray_session):
+    import duckdb
+
+    from hebrew_ner_ray.ops.windows import events_sufficient_stats
+
+    out = events_sufficient_stats(SF).to_pandas()
+    # moments reconstruct corr(value_centi, k) per group to float accuracy
+    agg = out.sum(numeric_only=True)
+    n = agg["n"]
+    cov = agg["sum_xk"] / n - (agg["sum_x"] / n) * (agg["sum_k"] / n)
+    vx = agg["sum_x2"] / n - (agg["sum_x"] / n) ** 2
+    vk = agg["sum_k2"] / n - (agg["sum_k"] / n) ** 2
+    got = cov / np.sqrt(vx * vk)
+    want = duckdb.sql(f"""
+        SELECT corr(CAST(floor(value*100) AS BIGINT),
+                    CAST(json_extract_string(props,'$.k') AS BIGINT))
+        FROM read_parquet('{SF}/events.parquet')
+        WHERE json_extract_string(props,'$.k') IS NOT NULL
+    """).fetchone()[0]
+    assert abs(got - want) < 1e-9
