@@ -70,6 +70,42 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return pagerank(build_edges(annotated(sf_dir, "triples"), sort=False))
 
+    def _half(parity: int):
+        """Deterministic corpus split on stable_id(doc_id) parity — the
+        stand-in for 'yesterday's corpus' vs 'today's delta'."""
+        import pandas as pd
+
+        from hebrew_ner_ray.kg.ids import stable_ids
+
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            h = stable_ids(b["doc_id"].tolist())
+            return b[h % 2 == parity]
+
+        return run
+
+    def kg_nodes_incremental(sf_dir: str):
+        """Incremental build correctness gate: build nodes from each
+        corpus half independently, upsert-merge, and match the SAME
+        oracle as the one-shot kg_nodes build."""
+        from hebrew_ner_ray.kg.canonical import merge_node_tables
+
+        ms = annotated(sf_dir, "mentions").materialize()
+        a = build_nodes(ms.map_batches(_half(0), batch_format="pandas"),
+                        sort=False)
+        b = build_nodes(ms.map_batches(_half(1), batch_format="pandas"),
+                        sort=False)
+        return merge_node_tables(a, b)
+
+    def kg_edges_incremental(sf_dir: str):
+        from hebrew_ner_ray.kg.canonical import merge_edge_tables
+
+        ts = annotated(sf_dir, "triples").materialize()
+        a = build_edges(ts.map_batches(_half(0), batch_format="pandas"),
+                        sort=False)
+        b = build_edges(ts.map_batches(_half(1), batch_format="pandas"),
+                        sort=False)
+        return merge_edge_tables(a, b)
+
     def kg_span_invariant(sf_dir: str):
         import pandas as pd
 
@@ -150,6 +186,8 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_triangles": kg_triangles,
         "kg_pagerank": kg_pagerank,
+        "kg_nodes_incremental": kg_nodes_incremental,
+        "kg_edges_incremental": kg_edges_incremental,
         "kg_span_invariant": kg_span_invariant,
     }
 
@@ -180,6 +218,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_edges": o.sql_edges(),
         "kg_triangles": o.sql_triangles(),
         "kg_pagerank": o.sql_pagerank(),
+        # incremental half-builds must reproduce the one-shot oracles
+        "kg_nodes_incremental": o.sql_nodes(),
+        "kg_edges_incremental": o.sql_edges(),
         "kg_span_invariant": o.sql_span_invariant(),
     }
 

@@ -197,3 +197,58 @@ def build_edges(triples_ds, sort: bool = True):
                             count=partials.count())
     edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
     return edges.sort(["subj_id", "pred", "obj_id"]) if sort else edges
+
+
+_NODE_COLS = {"entity_id": "int64", "canonical_form": "object",
+              "cat": "object", "mention_count": "int64"}
+_EDGE_COLS = {"subj_id": "int64", "pred": "object", "obj_id": "int64",
+              "weight": "int64"}
+
+
+def merge_node_tables(a, b, sort: bool = True):
+    """Incremental upsert of two node tables (yesterday's graph + today's
+    delta). Because entity ids are content-addressed and every node
+    aggregate is associative (count: sum, canonical_form: min), the merge
+    is a pure keyed aggregate on ``entity_id`` — no norm_key re-derivation,
+    no join, and merging half-builds is bit-identical to one full build
+    (CORRECTNESS-gated: kg_nodes_incremental shares kg_nodes' oracle)."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import keyed_aggregate, typed_empty
+
+    u = a.union(b).materialize()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_NODE_COLS)
+        out = g.groupby("entity_id", as_index=False).agg(
+            canonical_form=("canonical_form", "min"),
+            cat=("cat", "min"),  # cat is a function of the id — identity
+            mention_count=("mention_count", "sum"))
+        return out[list(_NODE_COLS)].astype(_NODE_COLS)
+
+    merged = keyed_aggregate(u, ["entity_id"], reduce, count=u.count())
+    merged = merged.select_columns(list(_NODE_COLS))
+    return merged.sort("entity_id") if sort else merged
+
+
+def merge_edge_tables(a, b, sort: bool = True):
+    """Edge-table twin of :func:`merge_node_tables`: weight sums are
+    associative, so the upsert is one keyed aggregate on the edge key."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import keyed_aggregate, typed_empty
+
+    u = a.union(b).materialize()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_EDGE_COLS)
+        out = g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+            weight=("weight", "sum"))
+        return out[list(_EDGE_COLS)].astype(_EDGE_COLS)
+
+    merged = keyed_aggregate(u, ["subj_id", "pred", "obj_id"], reduce,
+                             count=u.count())
+    merged = merged.select_columns(list(_EDGE_COLS))
+    return merged.sort(["subj_id", "pred", "obj_id"]) if sort else merged

@@ -1187,3 +1187,29 @@ def test_sufficient_stats_reconstruct_correlation(ray_session):
         WHERE json_extract_string(props,'$.k') IS NOT NULL
     """).fetchone()[0]
     assert abs(got - want) < 1e-9
+
+
+def test_merge_node_tables_upsert_semantics(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.canonical import merge_edge_tables, merge_node_tables
+
+    old = pd.DataFrame(
+        {"entity_id": [10, 20], "canonical_form": ["b", "x"],
+         "cat": ["PER", "ORG"], "mention_count": [3, 1]})
+    new = pd.DataFrame(
+        {"entity_id": [10, 30], "canonical_form": ["a", "z"],
+         "cat": ["PER", "LOC"], "mention_count": [2, 5]})
+    out = (merge_node_tables(ray.data.from_pandas(old),
+                             ray.data.from_pandas(new)).to_pandas())
+    assert out["entity_id"].tolist() == [10, 20, 30]
+    assert out["mention_count"].tolist() == [5, 1, 5]  # summed on overlap
+    assert out["canonical_form"].tolist() == ["a", "x", "z"]  # min wins
+
+    ea = pd.DataFrame({"subj_id": [1, 1], "pred": ["p", "q"],
+                       "obj_id": [2, 2], "weight": [2, 1]})
+    eb = pd.DataFrame({"subj_id": [1], "pred": ["p"],
+                       "obj_id": [2], "weight": [7]})
+    eo = (merge_edge_tables(ray.data.from_pandas(ea),
+                            ray.data.from_pandas(eb)).to_pandas())
+    assert eo["weight"].tolist() == [9, 1]
