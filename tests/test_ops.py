@@ -1213,3 +1213,28 @@ def test_merge_node_tables_upsert_semantics(ray_session):
     eo = (merge_edge_tables(ray.data.from_pandas(ea),
                             ray.data.from_pandas(eb)).to_pandas())
     assert eo["weight"].tolist() == [9, 1]
+
+
+def test_triangle_stats_randomized_vs_bruteforce(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import triangle_stats
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n = 25
+        a = rng.randint(0, n, 120)
+        b = rng.randint(0, n, 120)
+        keep = a != b
+        e = pd.DataFrame({"subj_id": a[keep], "obj_id": b[keep],
+                          "pred": "p", "weight": 1})
+        out = triangle_stats(ray.data.from_pandas(e)).iloc[0]
+
+        adj = np.zeros((n, n), dtype=np.int64)
+        for s, o in zip(e["subj_id"], e["obj_id"]):
+            adj[s, o] = adj[o, s] = 1
+        tri = int(np.trace(adj @ adj @ adj)) // 6
+        deg = adj.sum(axis=1)
+        assert out["n_triangles"] == tri, f"seed {seed}"
+        assert out["n_edges"] == int(adj.sum()) // 2
+        assert out["n_wedges"] == int((deg * (deg - 1) // 2).sum())
