@@ -111,6 +111,7 @@ def ops_queries():
         "tfidf_topk": _wrap(textstats.tfidf_topk),
         "text_heavy_hitters": _wrap(textstats.heavy_hitters),
         "doc_global_rank": _wrap(textstats.doc_global_rank),
+        "text_fuzzy_pairs": _wrap(textstats.fuzzy_token_pairs),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -637,6 +638,19 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # string-similarity join; SQL does the O(V²) exact check the
+        # engine's deletion-neighborhood index avoids
+        "text_fuzzy_pairs": r"""
+WITH tk AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\S+')) AS t
+  FROM documents
+)
+SELECT a.t AS tok_a, b.t AS tok_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM tk a JOIN tk b ON a.t < b.t
+WHERE abs(len(a.t) - len(b.t)) <= 2 AND levenshtein(a.t, b.t) <= 2
+ORDER BY tok_a, tok_b
 """,
         # exact global ROW_NUMBER — engine computes it as histogram
         # prefix-offsets + per-count ordinals, no global sort

@@ -582,3 +582,121 @@ def doc_global_rank(sf_dir: str):
 
     return bucketed_aggregate(proj, ["n"], Ranker(),
                               coalesce=partitions_for())
+
+
+_FUZZ_COLS = {"tok_a": "object", "tok_b": "object", "dist": "int64"}
+FUZZ_MAX_DIST = 2
+
+
+def _lev(a: str, b: str) -> int:
+    """Exact Levenshtein (full DP — tokens are short and this runs only
+    on neighborhood-join candidates, once per distinct pair)."""
+    la, lb = len(a), len(b)
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def _deletion_variants(t: str, k: int) -> set[str]:
+    """All strings reachable by ≤ k character deletions (FastSS keys)."""
+    frontier = {t}
+    out = {t}
+    for _ in range(k):
+        frontier = {s[:i] + s[i + 1:] for s in frontier for i in range(len(s))}
+        out |= frontier
+    return out
+
+
+def fuzzy_token_pairs(sf_dir: str, max_dist: int = FUZZ_MAX_DIST):
+    """String-similarity join: every distinct vocabulary pair at
+    Levenshtein distance ≤ ``max_dist`` (spelling-variant linking for
+    entity canonicalization). FastSS deletion neighborhoods: each
+    distinct token emits keys for itself and every ≤max_dist-character
+    deletion; any pair within distance d shares a key after deleting the
+    ≤d edited positions from each side, so candidates = key-bucket pairs
+    and the exact DP check runs once per distinct pair after a
+    pair-keyed dedup exchange.
+    The vocabulary-sized neighborhood index is the only exchanged
+    structure — the corpus never leaves the distinct-token combiner.
+    A production deploy caps degenerate buckets (e.g. the ''-variant
+    bucket of 1-char tokens) the way dedup caps hot shingles."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    _V = {"token": "object"}
+
+    def vocab_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+").explode().dropna()
+        if toks.empty:
+            return typed_empty(_V)
+        return pd.DataFrame({"token": toks.unique().astype("object")})
+
+    def vocab_dedup(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_V)
+        return p.drop_duplicates().astype(_V)
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(vocab_partial, batch_format="pandas"),
+        ["token"], vocab_dedup, coalesce=partitions_for())
+
+    _NB = {"nb_key": "int64", "token": "object"}
+
+    def neighborhoods(b: pd.DataFrame) -> pd.DataFrame:
+        toks, variants = [], []
+        for t in b["token"]:
+            forms = _deletion_variants(t, max_dist)
+            toks.extend([t] * len(forms))
+            variants.extend(forms)
+        if not toks:
+            return typed_empty(_NB)
+        return pd.DataFrame({"nb_key": stable_ids(variants),
+                             "token": np.asarray(toks, dtype=object)})
+
+    nb = vocab.map_batches(neighborhoods, batch_format="pandas")
+
+    _CAND = {"tok_a": "object", "tok_b": "object"}
+
+    def candidates(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CAND)
+        outs = []
+        for _, g in p.groupby("nb_key", sort=False):
+            ts = np.sort(g["token"].unique())
+            if len(ts) < 2:
+                continue
+            i, j = np.triu_indices(len(ts), 1)
+            outs.append(pd.DataFrame({"tok_a": ts[i], "tok_b": ts[j]}))
+        if not outs:
+            return typed_empty(_CAND)
+        return (pd.concat(outs, ignore_index=True).drop_duplicates()
+                .astype(_CAND))
+
+    cand = bucketed_aggregate(nb, ["nb_key"], candidates,
+                              coalesce=partitions_for())
+
+    def verify(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_FUZZ_COLS)
+        p = p.drop_duplicates()
+        d = np.asarray([_lev(a, b) for a, b in zip(p["tok_a"], p["tok_b"])],
+                       dtype=np.int64)
+        p = p[d <= max_dist].copy()
+        p["dist"] = d[d <= max_dist]
+        return p[list(_FUZZ_COLS)].astype(_FUZZ_COLS)
+
+    pairs = bucketed_aggregate(cand, ["tok_a", "tok_b"], verify,
+                               coalesce=partitions_for())
+    return pairs.sort(["tok_a", "tok_b"])

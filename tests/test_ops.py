@@ -1238,3 +1238,34 @@ def test_triangle_stats_randomized_vs_bruteforce(ray_session):
         assert out["n_triangles"] == tri, f"seed {seed}"
         assert out["n_edges"] == int(adj.sum()) // 2
         assert out["n_wedges"] == int((deg * (deg - 1) // 2).sum())
+
+
+def test_fuzzy_pairs_randomized_vs_bruteforce(ray_session, tmp_path):
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import _lev, fuzzy_token_pairs
+
+    # DP kernel sanity
+    assert _lev("cat", "cut") == 1
+    assert _lev("cat", "cats") == 1
+    assert _lev("ab", "ba") == 2
+    assert _lev("part", "spark") == 2
+    assert _lev("abc", "xyz") == 3
+
+    rng = np.random.RandomState(11)
+    vocab = {"".join(rng.choice(list("abcd"), rng.randint(2, 6)))
+             for _ in range(60)}
+    text = " ".join(sorted(vocab))
+    pq.write_table(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                             "text": [text]}),
+                   tmp_path / "documents.parquet")
+    out = fuzzy_token_pairs(str(tmp_path)).to_pandas()
+    got = {(a, b, d) for a, b, d in
+           zip(out["tok_a"], out["tok_b"], out["dist"])}
+    want = {(a, b, _lev(a, b))
+            for a, b in itertools.combinations(sorted(vocab), 2)
+            if _lev(a, b) <= 2}
+    assert got == want and len(want) > 10
