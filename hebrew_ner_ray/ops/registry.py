@@ -95,6 +95,8 @@ def ops_queries():
         "events_running_total": _wrap(windows.events_running_total),
         "events_mode_type": _wrap(windows.events_mode_type),
         "events_sufficient_stats": _wrap(windows.events_sufficient_stats),
+        "events_user_setops": _wrap(windows.events_user_setops),
+        "events_pivot_daily": _wrap(windows.events_pivot_daily),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
@@ -722,6 +724,38 @@ GROUP BY window_us
         # JSON k extraction, bucketed by tens, exact micro-unit sums.
         # floor(k/10), NOT DuckDB's // (truncation) — they differ on
         # negative k (numpy's // floors)
+        # set algebra on user sets: INTERSECT / EXCEPT both directions
+        "events_user_setops": """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_only,
+       CAST(sum(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase_only
+FROM f
+""",
+        # PIVOT via conditional aggregation over the pinned type domain
+        "events_pivot_daily": f"""
+SELECT CAST((epoch_us(ts) // {windows.DAY_US}) * {windows.DAY_US} AS BIGINT)
+         AS day_us,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view
+FROM events GROUP BY day_us
+""",
         # exact integer moment sums; centi-unit x pinned both sides
         "events_sufficient_stats": f"""
 WITH e AS (

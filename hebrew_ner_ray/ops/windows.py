@@ -584,3 +584,101 @@ def events_sufficient_stats(sf_dir: str):
 
     return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
                            ["event_type", "day_us"], merge)
+
+
+_SETOP_COLS = {"n_both": "int64", "n_view_only": "int64",
+               "n_purchase_only": "int64"}
+
+
+def events_user_setops(sf_dir: str):
+    """Distributed set algebra on user sets (INTERSECT / EXCEPT):
+    viewers ∩ purchasers, viewers ∖ purchasers, purchasers ∖ viewers.
+    Per-batch (user, has_view, has_purchase) boolean combiner → one
+    user-keyed exchange ORs the flags per complete user → per-partition
+    counts → one-row final. The exchange ships ≤ one row per (user,
+    block); nothing user-set-sized reaches the driver."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    _F = {"user_id": "int64", "v": "int64", "p": "int64"}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"]
+        g = (pd.DataFrame({"user_id": b["user_id"],
+                           "v": (t == "view").astype(np.int64),
+                           "p": (t == "purchase").astype(np.int64)})
+             .groupby("user_id", as_index=False).agg(v=("v", "max"),
+                                                     p=("p", "max")))
+        return g[g[["v", "p"]].any(axis=1)].astype(_F)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_SETOP_COLS)
+        u = g.groupby("user_id", as_index=False).agg(v=("v", "max"),
+                                                     p=("p", "max"))
+        v = u["v"].to_numpy(dtype=bool)
+        p = u["p"].to_numpy(dtype=bool)
+        return pd.DataFrame(
+            {"n_both": [int((v & p).sum())],
+             "n_view_only": [int((v & ~p).sum())],
+             "n_purchase_only": [int((~v & p).sum())]}).astype(_SETOP_COLS)
+
+    parts = bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                               ["user_id"], count_part,
+                               coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_SETOP_COLS)
+        return (g[list(_SETOP_COLS)].sum().to_frame().T
+                .astype(_SETOP_COLS))
+
+    return small_key_aggregate(parts, final)
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+_PIVOT_COLS = {"day_us": "int64",
+               **{f"n_{t}": "int64" for t in _PIVOT_TYPES}}
+
+
+def events_pivot_daily(sf_dir: str):
+    """PIVOT: per-day event counts spread into one column per event type
+    (the wide-table reshape). The pivot happens IN the per-batch combiner
+    (conditional counts → ≤ one row per (day, block)), so the exchange
+    and final reduce only ever see the wide shape — a pivot over 100 TB
+    costs the same small aggregate as any day-keyed rollup. Unknown
+    types are counted into none of the columns by construction; the
+    column set is the pinned _PIVOT_TYPES domain, stated in the SQL
+    twin's conditional aggregation."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (_epoch_us(b["ts"]).to_numpy() // DAY_US) * DAY_US
+        f = pd.DataFrame({"day_us": day})
+        for t in _PIVOT_TYPES:
+            f[f"n_{t}"] = (b["event_type"] == t).to_numpy(dtype=np.int64)
+        return (f.groupby("day_us", as_index=False).sum()
+                [list(_PIVOT_COLS)].astype(_PIVOT_COLS))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PIVOT_COLS)
+        return (g.groupby("day_us", as_index=False).sum()
+                [list(_PIVOT_COLS)].astype(_PIVOT_COLS))
+
+    return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                           ["day_us"], merge)

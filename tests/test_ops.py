@@ -1269,3 +1269,28 @@ def test_fuzzy_pairs_randomized_vs_bruteforce(ray_session, tmp_path):
             for a, b in itertools.combinations(sorted(vocab), 2)
             if _lev(a, b) <= 2}
     assert got == want and len(want) > 10
+
+
+def test_user_setops_and_pivot_small(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_pivot_daily, events_user_setops
+
+    ts = pa.array([0, 0, 86_400_000_000, 86_400_000_000, 0],
+                  type=pa.timestamp("us"))
+    tbl = pa.table(
+        {"user_id": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+         "event_type": ["view", "purchase", "view", "purchase", "signup"],
+         "ts": ts})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    so = events_user_setops(str(tmp_path)).to_pandas()
+    assert so.iloc[0].tolist() == [1, 1, 1]  # both / view-only / purchase-only
+
+    pv = (events_pivot_daily(str(tmp_path)).to_pandas()
+          .sort_values("day_us").reset_index(drop=True))
+    assert pv["day_us"].tolist() == [0, 86_400_000_000]
+    assert pv["n_view"].tolist() == [1, 1]
+    assert pv["n_purchase"].tolist() == [1, 1]
+    assert pv["n_signup"].tolist() == [1, 0]
+    assert pv["n_click"].tolist() == [0, 0]
