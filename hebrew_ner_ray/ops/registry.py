@@ -84,6 +84,7 @@ def ops_queries():
         "sim_ivf_recall": _wrap(similarity.ivf_recall),
         "sim_embedding_centroids": _wrap(similarity.embedding_centroids),
         "sim_kmeans_assign": _wrap(similarity.kmeans_assign),
+        "sim_embedding_gram": _wrap(similarity.embedding_gram),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
         "events_sessions": _wrap(windows.events_sessions),
@@ -872,6 +873,19 @@ LEFT JOIN t2 ON u.user_id = t2.user_id
 LEFT JOIN t3 ON u.user_id = t3.user_id
 """,
         # k-means M-step: micro-unit integer sums, floor-division mean
+        # XᵀX in squared milli-units; 1-based (i ≤ j) upper triangle
+        "sim_embedding_gram": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS x
+  FROM embeddings
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(sum(a.x * b.x) AS BIGINT) AS g_milli2,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
         "sim_embedding_centroids": r"""
 WITH e AS (
   SELECT label, CAST(t.j AS BIGINT) AS dim,

@@ -567,3 +567,50 @@ def kmeans_assign(sf_dir: str):
                                columns=["vec_id", "embedding", "label"])
     return ds.map_batches(Assign, batch_format="pandas",
                           concurrency=default_concurrency())
+
+
+_GRAM_COLS = {"i": "int64", "j": "int64", "g_milli2": "int64",
+              "n_vecs": "int64"}
+
+
+def embedding_gram(sf_dir: str):
+    """Exact Gram matrix of the embedding column (the XᵀX sketch behind
+    PCA / linear probes): upper-triangle entries G[i,j] = Σ x_i·x_j over
+    all vectors, in squared milli-units so the distributed integer sums
+    are bit-exact against the SQL unnest twin.
+
+    The matrix-sketch combiner pattern: each batch computes its own
+    D×D int64 matmul, so the exchange carries D(D+1)/2 rows per block
+    (2080 at D=64) — corpus-size-independent, like the moment sketches.
+    One small final task sums the per-block matrices. int64 bound: at
+    |x| ≤ 1 milli-units keep Σ x_i·x_j exact past 1e12 vectors."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return typed_empty(_GRAM_COLS)
+        xm = np.floor(
+            np.stack(b["embedding"].to_list()).astype(np.float64) * 1000
+        ).astype(np.int64)
+        g = xm.T @ xm  # D×D int64 matmul, one per batch
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {"i": iu + 1, "j": ju + 1, "g_milli2": g[iu, ju],
+             "n_vecs": np.full(len(iu), len(b), dtype=np.int64)}
+        ).astype(_GRAM_COLS)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_GRAM_COLS)
+        out = g.groupby(["i", "j"], as_index=False).agg(
+            g_milli2=("g_milli2", "sum"), n_vecs=("n_vecs", "sum"))
+        return out[list(_GRAM_COLS)].astype(_GRAM_COLS)
+
+    return small_key_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), final)

@@ -1294,3 +1294,25 @@ def test_user_setops_and_pivot_small(ray_session, tmp_path):
     assert pv["n_purchase"].tolist() == [1, 1]
     assert pv["n_signup"].tolist() == [1, 0]
     assert pv["n_click"].tolist() == [0, 0]
+
+
+def test_embedding_gram_matches_numpy(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.similarity import embedding_gram
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(37, 8).astype(np.float32) * 0.5
+    pq.write_table(pa.table(
+        {"vec_id": pa.array(range(37), type=pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               type=pa.list_(pa.float32()))}),
+        tmp_path / "embeddings.parquet", row_group_size=10)
+    out = embedding_gram(str(tmp_path)).to_pandas()
+    xm = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    want = xm.T @ xm
+    assert len(out) == 8 * 9 // 2
+    for _, r in out.iterrows():
+        assert r["g_milli2"] == want[r["i"] - 1, r["j"] - 1]
+        assert r["n_vecs"] == 37
