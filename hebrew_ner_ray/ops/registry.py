@@ -115,6 +115,7 @@ def ops_queries():
         "text_heavy_hitters": _wrap(textstats.heavy_hitters),
         "doc_global_rank": _wrap(textstats.doc_global_rank),
         "text_fuzzy_pairs": _wrap(textstats.fuzzy_token_pairs),
+        "doc_pack_offsets": _wrap(textstats.doc_pack_offsets),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -232,7 +233,7 @@ WHERE ag.doc_id NOT IN (SELECT doc_id FROM near_losers)
 
 def ops_oracles():
     from hebrew_ner_ray.fixtures.oracle import CORPUS_CTE
-    from hebrew_ner_ray.ops import relational, windows
+    from hebrew_ner_ray.ops import relational, textstats, windows
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_bands = MINHASH_K // MINHASH_BAND
@@ -641,6 +642,25 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # sequence packing: ordered prefix sum stated as a window frame
+        "doc_pack_offsets": rf"""
+WITH h AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_ws_tokens,
+       off AS tok_offset,
+       CAST(off // {textstats.PACK_WINDOW} AS BIGINT) AS window_id,
+       CAST(off % {textstats.PACK_WINDOW} AS BIGINT) AS pos_in_window
+FROM o
 """,
         # string-similarity join; SQL does the O(V²) exact check the
         # engine's deletion-neighborhood index avoids

@@ -700,3 +700,97 @@ def fuzzy_token_pairs(sf_dir: str, max_dist: int = FUZZ_MAX_DIST):
     pairs = bucketed_aggregate(cand, ["tok_a", "tok_b"], verify,
                                coalesce=partitions_for())
     return pairs.sort(["tok_a", "tok_b"])
+
+
+PACK_WINDOW = 256
+
+_PACK_COLS = {"doc_id": "int64", "n_ws_tokens": "int64", "tok_offset": "int64",
+              "window_id": "int64", "pos_in_window": "int64"}
+
+
+def doc_pack_offsets(sf_dir: str, window: int = PACK_WINDOW):
+    """LLM sequence packing: assign every document its global token
+    offset in doc_id order, and therefore its training window id and
+    in-window position (window = {PACK_WINDOW} tokens). The ordered
+    prefix sum WITHOUT a global sort:
+
+    1. range-partition on doc_id (a monotone bucket function, so
+       partition order IS key order — no sampling needed on an ordered
+       integer key),
+    2. tiny per-partition token totals → driver computes P prefix
+       offsets (P = cluster partitions, not corpus) → broadcast,
+    3. each partition mergesorts its own docs and adds its offset.
+
+    Complement of doc_global_rank's histogram trick: that one ranks an
+    UNORDERED value domain; this one prefix-sums an ordered key."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+             "n": b["text"].str.count(r"\S+").to_numpy(dtype=np.int64)}
+        )
+
+    proj = ds.map_batches(project, batch_format="pandas").materialize()
+    # doc_id span from a cheap column-pruned aggregate (metadata-light)
+    lo = int(proj.min("doc_id"))
+    hi = int(proj.max("doc_id"))
+    n_parts = partitions_for()
+    span = max(1, (hi - lo + 1 + n_parts - 1) // n_parts)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["doc_id"].to_numpy(dtype=np.int64) - lo) // span
+        return b
+
+    parted = proj.map_batches(add_part, batch_format="pandas").materialize()
+
+    _T = {"part": "int64", "total": "int64"}
+
+    def totals(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_T)
+        return (p.groupby("part", as_index=False).agg(total=("n", "sum"))
+                .astype(_T))
+
+    tot = (bucketed_aggregate(parted, ["part"], totals, coalesce=n_parts)
+           .to_pandas().sort_values("part"))
+    # P rows reach the driver — partition count, never corpus count
+    offs = np.zeros(len(tot), dtype=np.int64)
+    if len(tot) > 1:
+        offs[1:] = np.cumsum(tot["total"].to_numpy())[:-1]
+    off_map = dict(zip(tot["part"].astype(np.int64), offs))
+    off_ref = ray.put(off_map)
+
+    class Packer:
+        def __init__(self):
+            self.offs = ray.get(off_ref)
+
+        def __call__(self, p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_PACK_COLS)
+            # a hash partition may hold SEVERAL part keys — offset per
+            # complete part group, not per partition
+            outs = []
+            for part, g in p.groupby("part", sort=False):
+                g = g.sort_values("doc_id", kind="mergesort")
+                base = self.offs[int(part)]
+                n = g["n"].to_numpy(dtype=np.int64)
+                off = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+                outs.append(pd.DataFrame(
+                    {"doc_id": g["doc_id"].to_numpy(), "n_ws_tokens": n,
+                     "tok_offset": off, "window_id": off // window,
+                     "pos_in_window": off % window}))
+            return pd.concat(outs, ignore_index=True).astype(_PACK_COLS)
+
+    return bucketed_aggregate(parted, ["part"], Packer(), coalesce=n_parts)

@@ -1316,3 +1316,27 @@ def test_embedding_gram_matches_numpy(ray_session, tmp_path):
     for _, r in out.iterrows():
         assert r["g_milli2"] == want[r["i"] - 1, r["j"] - 1]
         assert r["n_vecs"] == 37
+
+
+def test_doc_pack_offsets_contiguous(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import doc_pack_offsets
+
+    rng = np.random.RandomState(9)
+    ids = np.arange(100, dtype=np.int64)
+    rng.shuffle(ids)  # write out of order — packing must be doc_id order
+    texts = [("t " * int(rng.randint(1, 30))).strip() for _ in ids]
+    pq.write_table(pa.table({"doc_id": pa.array(ids), "text": texts}),
+                   tmp_path / "documents.parquet", row_group_size=13)
+    out = (doc_pack_offsets(str(tmp_path), window=16).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 100
+    # offsets are the exact prefix sums in doc_id order: contiguous
+    n = out["n_ws_tokens"].to_numpy()
+    off = out["tok_offset"].to_numpy()
+    assert off[0] == 0
+    assert (off[1:] == off[:-1] + n[:-1]).all()
+    assert (out["window_id"] == out["tok_offset"] // 16).all()
+    assert (out["pos_in_window"] == out["tok_offset"] % 16).all()
