@@ -1340,3 +1340,47 @@ def test_doc_pack_offsets_contiguous(ray_session, tmp_path):
     assert (off[1:] == off[:-1] + n[:-1]).all()
     assert (out["window_id"] == out["tok_offset"] // 16).all()
     assert (out["pos_in_window"] == out["tok_offset"] % 16).all()
+
+
+def test_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized differential gate beyond the fixed sf corpus: random
+    events (negative values, duplicate timestamps, sparse props) must
+    match DuckDB for five operator families."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rng = np.random.RandomState(42)
+    n = 3000
+    ts = pa.array(rng.randint(0, 5 * 86_400_000_000, n).astype("int64"),
+                  type=pa.timestamp("us"))
+    props = np.where(rng.rand(n) < 0.8,
+                     [f'{{"k": {k}}}' for k in rng.randint(-30, 30, n)],
+                     '{"other": 1}')
+    tbl = pa.table(
+        {"event_id": pa.array(np.arange(n), type=pa.int64()),
+         "ts": ts,
+         "user_id": pa.array(rng.randint(1, 40, n).astype("int64")),
+         "event_type": pa.array(rng.choice(
+             ["view", "click", "purchase", "signup", "error"], n)),
+         "value": pa.array(rng.randn(n) * 50),
+         "props": pa.array(props)})
+    pq.write_table(tbl, tmp_path / "events.parquet", row_group_size=500)
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    for name in ["events_running_total", "events_mode_type",
+                 "events_pivot_daily", "events_user_setops",
+                 "events_sufficient_stats"]:
+        got = qs[name](str(tmp_path)).to_pandas()
+        want = con.execute(sqls[name]).df()
+        got = (got[sorted(got.columns)]
+               .sort_values(sorted(got.columns)).reset_index(drop=True))
+        want = (want[sorted(want.columns)]
+                .sort_values(sorted(want.columns)).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=name)
