@@ -278,10 +278,20 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5,
     Output: (doc_id, cluster_id) for every doc in ≥1 pair; cluster_id =
     min doc id of the component.
     """
+    return clusters_from_pairs(
+        dedup_jaccard(sf_dir, threshold).map_batches(
+            _project_ab, batch_format="pandas"),
+        driver_pair_limit)
+
+
+def clusters_from_pairs(pairs, driver_pair_limit: int = DRIVER_PAIR_LIMIT):
+    """Size-aware connected components over any (a, b) int64 pair
+    Dataset — the dispatch shared by near-dup clustering and the
+    fuzzy-token entity-resolution composition (textstats). Returns
+    (doc_id, cluster_id); cluster_id = min node id of the component."""
     import ray.data
 
-    pairs = dedup_jaccard(sf_dir, threshold).map_batches(
-        _project_ab, batch_format="pandas").materialize()
+    pairs = pairs.materialize()
     if pairs.count() > driver_pair_limit:
         return _clusters_label_propagation(pairs)
 

@@ -116,6 +116,7 @@ def ops_queries():
         "doc_global_rank": _wrap(textstats.doc_global_rank),
         "text_fuzzy_pairs": _wrap(textstats.fuzzy_token_pairs),
         "doc_pack_offsets": _wrap(textstats.doc_pack_offsets),
+        "text_fuzzy_clusters": _wrap(textstats.fuzzy_token_clusters),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -642,6 +643,32 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # transitive closure of the fuzzy-pair graph; cluster_id = min
+        # stable_id of the variant group (same rule as the engine's CC)
+        "text_fuzzy_clusters": rf"""
+WITH RECURSIVE tk AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\S+')) AS t
+  FROM documents
+),
+pr AS (
+  SELECT a.t AS ta, b.t AS tb FROM tk a JOIN tk b ON a.t < b.t
+  WHERE abs(len(a.t) - len(b.t)) <= 2 AND levenshtein(a.t, b.t) <= 2
+),
+ids AS (SELECT t, {sql_stable_id('t')} AS id FROM tk),
+p AS (SELECT ia.id AS a, ib.id AS b
+      FROM pr JOIN ids ia ON pr.ta = ia.t JOIN ids ib ON pr.tb = ib.t),
+e AS MATERIALIZED (SELECT a AS node, b AS peer FROM p
+                   UNION ALL SELECT b, a FROM p),
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node AS lbl FROM e
+  UNION
+  SELECT e.peer AS node, r.lbl FROM e JOIN reach r ON e.node = r.node
+),
+cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT ids.t AS token, CAST(cl.cluster_id AS BIGINT) AS cluster_id
+FROM cl JOIN ids ON cl.node = ids.id
+ORDER BY token
 """,
         # sequence packing: ordered prefix sum stated as a window frame
         "doc_pack_offsets": rf"""

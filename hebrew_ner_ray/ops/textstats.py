@@ -794,3 +794,62 @@ def doc_pack_offsets(sf_dir: str, window: int = PACK_WINDOW):
             return pd.concat(outs, ignore_index=True).astype(_PACK_COLS)
 
     return bucketed_aggregate(parted, ["part"], Packer(), coalesce=n_parts)
+
+
+_FCLUST_COLS = {"token": "object", "cluster_id": "int64"}
+
+
+def fuzzy_token_clusters(sf_dir: str, max_dist: int = FUZZ_MAX_DIST):
+    """Entity resolution by composition: the string-similarity join
+    (:func:`fuzzy_token_pairs`) feeds the engine's size-aware connected
+    components (ops/dedup.clusters_from_pairs — driver union-find small,
+    pointer-doubling label propagation large), clustering spelling
+    variants transitively. Output: (token, cluster_id) for every token
+    in ≥1 fuzzy pair, cluster_id = min stable_id of the variant group —
+    exactly the recursive-closure SQL twin's rule. Token names are
+    re-attached by one id-keyed exchange (nothing vocabulary-sized
+    reaches the driver on the distributed arm)."""
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.dedup import clusters_from_pairs
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    pairs = fuzzy_token_pairs(sf_dir, max_dist).materialize()
+
+    def to_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": stable_ids(list(b["tok_a"])),
+                             "b": stable_ids(list(b["tok_b"]))})
+
+    cl = clusters_from_pairs(pairs.map_batches(to_ids, batch_format="pandas"))
+
+    _J = {"k": "int64", "token": "object", "cluster_id": "int64",
+          "side": "int64"}
+
+    def cl_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b["doc_id"].to_numpy(dtype=np.int64),
+             "token": np.full(n, "", dtype=object),
+             "cluster_id": b["cluster_id"].to_numpy(dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_J)
+
+    def map_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.concat([b["tok_a"], b["tok_b"]],
+                         ignore_index=True).drop_duplicates()
+        return pd.DataFrame(
+            {"k": stable_ids(list(toks)),
+             "token": toks.to_numpy(dtype=object),
+             "cluster_id": np.zeros(len(toks), dtype=np.int64),
+             "side": np.ones(len(toks), dtype=np.int64)}).astype(_J)
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_FCLUST_COLS)
+        c = p[p["side"] == 0][["k", "cluster_id"]]
+        t = p[p["side"] == 1][["k", "token"]].drop_duplicates()
+        m = t.merge(c, on="k")
+        return m[list(_FCLUST_COLS)].astype(_FCLUST_COLS)
+
+    u = cl.map_batches(cl_rows, batch_format="pandas").union(
+        pairs.map_batches(map_rows, batch_format="pandas"))
+    out = bucketed_aggregate(u, ["k"], join, coalesce=partitions_for())
+    return out.sort("token")

@@ -1384,3 +1384,27 @@ def test_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
                 .sort_values(sorted(want.columns)).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       obj=name)
+
+
+def test_fuzzy_clusters_transitive(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.kg.ids import stable_id
+    from hebrew_ner_ray.ops.textstats import fuzzy_token_clusters
+
+    # chain: aaaa ~ aaab ~ aabb (dist 1 links) but aaaa↔aabb dist 2;
+    # zzzz isolated with a partner yzzz; transitivity must group the
+    # 3-chain into ONE cluster keyed by the min stable_id
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "text": ["aaaa aaab aabb zzzz yzzz qqqqqqqqqq"]}),
+        tmp_path / "documents.parquet")
+    out = fuzzy_token_clusters(str(tmp_path)).to_pandas()
+    by_tok = dict(zip(out["token"], out["cluster_id"]))
+    assert "qqqqqqqqqq" not in by_tok  # no pair → not emitted
+    chain = {by_tok["aaaa"], by_tok["aaab"], by_tok["aabb"]}
+    assert len(chain) == 1
+    assert chain.pop() == min(stable_id(t) for t in ["aaaa", "aaab", "aabb"])
+    assert by_tok["zzzz"] == by_tok["yzzz"]
+    assert by_tok["zzzz"] != by_tok["aaaa"]
