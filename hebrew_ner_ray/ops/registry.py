@@ -117,6 +117,7 @@ def ops_queries():
         "text_fuzzy_pairs": _wrap(textstats.fuzzy_token_pairs),
         "doc_pack_offsets": _wrap(textstats.doc_pack_offsets),
         "text_fuzzy_clusters": _wrap(textstats.fuzzy_token_clusters),
+        "lm_doc_logprob": _wrap(textstats.lm_doc_logprob),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -643,6 +644,31 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # bigram LM score: floor(ln(c12/c1)·1e6) per occurrence, integer
+        # sums; ln on a DOUBLE ratio — identical libm path both engines
+        "lm_doc_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS key, tk[i] AS w1
+  FROM toks, unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+c12 AS (SELECT key, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY key),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1000000)
+              AS BIGINT) AS lp
+  FROM bg JOIN c12 USING (key) JOIN c1 USING (w1)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp) AS BIGINT) AS logprob_ppm
+FROM lp GROUP BY doc_id
 """,
         # transitive closure of the fuzzy-pair graph; cluster_id = min
         # stable_id of the variant group (same rule as the engine's CC)

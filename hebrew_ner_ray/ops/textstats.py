@@ -853,3 +853,215 @@ def fuzzy_token_clusters(sf_dir: str, max_dist: int = FUZZ_MAX_DIST):
         pairs.map_batches(map_rows, batch_format="pandas"))
     out = bucketed_aggregate(u, ["k"], join, coalesce=partitions_for())
     return out.sort("token")
+
+
+LM_BROADCAST_LIMIT = 2_000_000
+_LM_COLS = {"doc_id": "int64", "n_bigrams": "int64", "logprob_ppm": "int64"}
+
+
+def _log_ratio_ppm(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """floor(ln(num/den)·1e6) per DISTINCT (num, den) pair via math.log —
+    C libm, the same path DuckDB's ln() takes (idf trick generalized)."""
+    import math
+
+    pairs = {(int(a), int(b)) for a, b in zip(num, den)}
+    lut = {p: int(math.floor(math.log(p[0] / p[1]) * 1_000_000)) for p in pairs}
+    return np.asarray([lut[(int(a), int(b))] for a, b in zip(num, den)],
+                      dtype=np.int64)
+
+
+def _doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, key, w1, tf): per-doc bigram occurrence counts — complete
+    per doc (a doc's text lives in one row). Tokens contain no spaces, so
+    'w1 w2' is an unambiguous bigram key (the shingle trick)."""
+    rows_d, rows_k, rows_w = [], [], []
+    for d, t in zip(b["doc_id"], b["text"]):
+        ts = ws_tokens(t)
+        for w1, w2 in zip(ts, ts[1:]):
+            rows_d.append(d)
+            rows_k.append(w1 + " " + w2)
+            rows_w.append(w1)
+    if not rows_d:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "key": pd.Series(dtype="object"),
+                             "w1": pd.Series(dtype="object"),
+                             "tf": pd.Series(dtype="int64")})
+    return (pd.DataFrame({"doc_id": np.asarray(rows_d, dtype=np.int64),
+                          "key": rows_k, "w1": rows_w})
+            .groupby(["doc_id", "key", "w1"], as_index=False).size()
+            .rename(columns={"size": "tf"}))
+
+
+def lm_doc_logprob(sf_dir: str, broadcast_limit: int = LM_BROADCAST_LIMIT):
+    """Bigram language-model scoring per document — the perplexity-style
+    quality filter every LLM curation pipeline runs: logprob(doc) =
+    Σ floor(ln(c(w1,w2) / c(w1·)) · 1e6) over the doc's bigrams, where
+    the counts are CORPUS-wide (two-pass global statistic, the tfidf
+    shape). Integer ppm log-probs via per-distinct-ratio libm log keep
+    the distributed sums bit-exact against the SQL twin.
+
+    Pass A: per-batch bigram-count combiner → bigram-keyed aggregate
+    (the exchange ships distinct (bigram, n) per block, not the token
+    stream); c(w1·) derives from the bigram table by a second, much
+    smaller aggregate. Pass B is size-aware like tfidf: the (bigram →
+    lp) map broadcasts under ``broadcast_limit`` rows; above it the
+    occurrence rows meet the stats in a bigram-keyed exchange and a
+    doc-keyed aggregate finishes the sums."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        sized_aggregate,
+        typed_empty,
+    )
+    from hebrew_ner_ray.runtime import default_concurrency
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    _C12 = {"key": "object", "w1": "object", "c12": "int64"}
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_bigrams(b)
+        if g.empty:
+            return typed_empty(_C12)
+        out = (g.groupby(["key", "w1"], as_index=False).agg(c12=("tf", "sum")))
+        return out[list(_C12)].astype(_C12)
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_C12)
+        return (g.groupby(["key", "w1"], as_index=False).agg(c12=("c12", "sum"))
+                [list(_C12)].astype(_C12))
+
+    c12 = sized_aggregate(ds.map_batches(count_partial, batch_format="pandas"),
+                          ["key"], count_reduce,
+                          coalesce=partitions_for()).materialize()
+    n_keys = c12.count()
+
+    def doc_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_LM_COLS)
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), logprob_ppm=("logprob_ppm", "sum"))
+        return out[list(_LM_COLS)].astype(_LM_COLS)
+
+    if n_keys <= broadcast_limit:
+        pdf = c12.to_pandas()
+        c1 = pdf.groupby("w1")["c12"].sum()
+        lp = _log_ratio_ppm(pdf["c12"].to_numpy(),
+                            c1.loc[pdf["w1"]].to_numpy())
+        lp_ref = ray.put(dict(zip(pdf["key"], lp)))
+
+        class Scorer:
+            def __init__(self):
+                self.lp = ray.get(lp_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                g = _doc_bigrams(b)
+                if g.empty:
+                    return typed_empty(_LM_COLS)
+                # every doc bigram exists in the corpus map by construction
+                g["lp"] = np.asarray([self.lp[k] for k in g["key"]],
+                                     dtype=np.int64) * g["tf"].to_numpy()
+                out = g.groupby("doc_id", as_index=False).agg(
+                    n_bigrams=("tf", "sum"), logprob_ppm=("lp", "sum"))
+                return out[list(_LM_COLS)].astype(_LM_COLS)
+
+        return ds.map_batches(Scorer, batch_format="pandas",
+                              concurrency=default_concurrency())
+
+    # exchange arm: c1 table → attach to c12 on w1 → lp per bigram →
+    # attach lp to occurrences on key → doc-keyed sums
+    _C1 = {"w1": "object", "c1": "int64"}
+
+    def c1_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_C1)
+        return (g.groupby("w1", as_index=False).agg(c1=("c12", "sum"))
+                [list(_C1)].astype(_C1))
+
+    _W = {"w1": "object", "key": "object", "c12": "int64", "c1": "int64",
+          "side": "int64"}
+
+    def c12_w_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"w1": b["w1"], "key": b["key"], "c12": b["c12"],
+             "c1": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_W)
+
+    def c1_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"w1": b["w1"], "key": np.full(n, "", dtype=object),
+             "c12": np.zeros(n, dtype=np.int64), "c1": b["c1"],
+             "side": np.ones(n, dtype=np.int64)}).astype(_W)
+
+    c1_tbl = bucketed_aggregate(
+        c12.map_batches(lambda b: b[["w1", "c12"]], batch_format="pandas"),
+        ["w1"], c1_reduce, coalesce=partitions_for())
+
+    _LP = {"key": "object", "lp": "int64"}
+
+    def attach_c1(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_LP)
+        c = p[p["side"] == 1][["w1", "c1"]]
+        e = p[p["side"] == 0][["w1", "key", "c12"]]
+        m = e.merge(c, on="w1")
+        if m.empty:
+            return typed_empty(_LP)
+        return pd.DataFrame(
+            {"key": m["key"],
+             "lp": _log_ratio_ppm(m["c12"].to_numpy(),
+                                  m["c1"].to_numpy())}).astype(_LP)
+
+    lp_tbl = bucketed_aggregate(
+        c12.map_batches(c12_w_rows, batch_format="pandas").union(
+            c1_tbl.map_batches(c1_rows, batch_format="pandas")),
+        ["w1"], attach_c1, coalesce=partitions_for())
+
+    _O = {"key": "object", "doc_id": "int64", "tf": "int64", "lp": "int64",
+          "side": "int64"}
+
+    def occ_rows(b: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_bigrams(b)
+        n = len(g)
+        return pd.DataFrame(
+            {"key": g["key"], "doc_id": g["doc_id"], "tf": g["tf"],
+             "lp": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_O)
+
+    def lp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"key": b["key"], "doc_id": np.zeros(n, dtype=np.int64),
+             "tf": np.zeros(n, dtype=np.int64), "lp": b["lp"],
+             "side": np.ones(n, dtype=np.int64)}).astype(_O)
+
+    _DP = {"doc_id": "int64", "n_bigrams": "int64", "logprob_ppm": "int64"}
+
+    def attach_lp(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_DP)
+        lps = p[p["side"] == 1][["key", "lp"]]
+        occ = p[p["side"] == 0][["key", "doc_id", "tf"]]
+        m = occ.merge(lps, on="key")
+        if m.empty:
+            return typed_empty(_DP)
+        m["logprob_ppm"] = m["lp"].to_numpy() * m["tf"].to_numpy()
+        # per-partition doc partials — the doc exchange finishes the sum
+        out = m.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("tf", "sum"), logprob_ppm=("logprob_ppm", "sum"))
+        return out[list(_DP)].astype(_DP)
+
+    doc_partials = bucketed_aggregate(
+        ds.map_batches(occ_rows, batch_format="pandas").union(
+            lp_tbl.map_batches(lp_rows, batch_format="pandas")),
+        ["key"], attach_lp, coalesce=partitions_for())
+
+    return bucketed_aggregate(doc_partials, ["doc_id"], doc_reduce,
+                              coalesce=partitions_for())

@@ -1408,3 +1408,16 @@ def test_fuzzy_clusters_transitive(ray_session, tmp_path):
     assert chain.pop() == min(stable_id(t) for t in ["aaaa", "aaab", "aabb"])
     assert by_tok["zzzz"] == by_tok["yzzz"]
     assert by_tok["zzzz"] != by_tok["aaaa"]
+
+
+def test_lm_logprob_exchange_arm_matches_broadcast(ray_session):
+    from hebrew_ner_ray.ops.textstats import lm_doc_logprob
+
+    bc = (lm_doc_logprob(SF).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    ex = (lm_doc_logprob(SF, broadcast_limit=0).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(ex[list(bc.columns)], bc, check_dtype=False)
+    # every bigram log-prob is ≤ 0 (c12 ≤ c1 always)
+    assert (bc["logprob_ppm"] <= 0).all()
