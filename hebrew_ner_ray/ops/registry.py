@@ -118,6 +118,7 @@ def ops_queries():
         "doc_pack_offsets": _wrap(textstats.doc_pack_offsets),
         "text_fuzzy_clusters": _wrap(textstats.fuzzy_token_clusters),
         "lm_doc_logprob": _wrap(textstats.lm_doc_logprob),
+        "text_collocations": _wrap(textstats.collocations_pmi),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -644,6 +645,37 @@ SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        CAST(min(CASE WHEN rk >= ceil(0.90 * n_docs) THEN n END) AS BIGINT) AS p90,
        CAST(min(CASE WHEN rk >= ceil(0.99 * n_docs) THEN n END) AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        # PMI: both sides round numerator and denominator to DOUBLE
+        # before the divide; tie-break (pmi DESC, w1, w2) pinned
+        "text_collocations": rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT tk[i] AS w1, tk[i+1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
+        GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bg),
+sc AS (
+  SELECT c12.w1, c12.w2, c12.c12,
+         CAST(floor(ln(CAST(c12.c12 * t.total AS DOUBLE)
+                       / CAST(c1.c1 * c2.c2 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS pmi_ppm
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), t
+  WHERE c12.c12 >= {textstats.PMI_MIN_COUNT}
+),
+r AS (SELECT *, row_number() OVER (
+        ORDER BY pmi_ppm DESC, w1, w2) AS rk FROM sc)
+SELECT w1, w2, c12, pmi_ppm, CAST(rk AS BIGINT) AS rnk
+FROM r WHERE rk <= {textstats.PMI_K}
+ORDER BY rnk
 """,
         # bigram LM score: floor(ln(c12/c1)·1e6) per occurrence, integer
         # sums; ln on a DOUBLE ratio — identical libm path both engines

@@ -1065,3 +1065,171 @@ def lm_doc_logprob(sf_dir: str, broadcast_limit: int = LM_BROADCAST_LIMIT):
 
     return bucketed_aggregate(doc_partials, ["doc_id"], doc_reduce,
                               coalesce=partitions_for())
+
+
+PMI_MIN_COUNT = 5
+PMI_K = 30
+_PMI_COLS = {"w1": "object", "w2": "object", "c12": "int64",
+             "pmi_ppm": "int64", "rnk": "int64"}
+
+
+def collocations_pmi(sf_dir: str, k: int = PMI_K,
+                     min_count: int = PMI_MIN_COUNT):
+    """Top-k collocations by pointwise mutual information:
+    pmi = floor(ln(double(c12·T) / double(c1·c2)) · 1e6) for bigrams with
+    c12 ≥ ``min_count`` (T = total bigrams, c1/c2 = first/second-slot
+    marginals). Fully distributed, no broadcast: the bigram-keyed count
+    aggregate stays sharded; the two marginal tables meet it in one
+    w1-keyed then one w2-keyed exchange; each partition emits its local
+    top-k and one small task finishes. Both float casts pinned: numerator
+    and denominator are each rounded to DOUBLE before the divide, the
+    same expression the SQL twin states."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        sized_aggregate,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    _B = {"w1": "object", "w2": "object", "c12": "int64"}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_bigrams(b)
+        if g.empty:
+            return typed_empty(_B)
+        g["w2"] = [key.split(" ", 1)[1] for key in g["key"]]
+        return (g.groupby(["w1", "w2"], as_index=False).agg(c12=("tf", "sum"))
+                [list(_B)].astype(_B))
+
+    def reduce_b(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_B)
+        return (g.groupby(["w1", "w2"], as_index=False).agg(c12=("c12", "sum"))
+                [list(_B)].astype(_B))
+
+    c12 = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                          ["w1", "w2"], reduce_b,
+                          coalesce=partitions_for()).materialize()
+    total = int(c12.sum("c12") or 0)
+    if total == 0:
+        return c12.map_batches(
+            lambda b: pd.DataFrame({c: pd.Series(dtype=t)
+                                    for c, t in _PMI_COLS.items()}),
+            batch_format="pandas")
+
+    def marginal(col: str, out: str):
+        _M = {col: "object", out: "int64"}
+
+        def red(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty:
+                return typed_empty(_M)
+            return (g.groupby(col, as_index=False).agg(**{out: ("c12", "sum")})
+                    [list(_M)].astype(_M))
+
+        return bucketed_aggregate(
+            c12.map_batches(lambda b: b[[col, "c12"]], batch_format="pandas"),
+            [col], red, coalesce=partitions_for())
+
+    c1_tbl = marginal("w1", "c1")
+    c2_tbl = marginal("w2", "c2")
+
+    # attach c1 (w1-keyed exchange)
+    _A1 = {"w1": "object", "w2": "object", "c12": "int64", "c1": "int64",
+           "side": "int64"}
+
+    def bg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        out = b[["w1", "w2", "c12"]].copy()
+        out["c1"] = np.zeros(n, dtype=np.int64)
+        out["side"] = np.zeros(n, dtype=np.int64)
+        if "c1" in b.columns:
+            out["c1"] = b["c1"]
+        return out[list(_A1)].astype(_A1)
+
+    def c1_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"w1": b["w1"], "w2": np.full(n, "", dtype=object),
+             "c12": np.zeros(n, dtype=np.int64), "c1": b["c1"],
+             "side": np.ones(n, dtype=np.int64)}).astype(_A1)
+
+    def join_c1(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_A1)
+        m = (p[p["side"] == 0].drop(columns=["c1", "side"])
+             .merge(p[p["side"] == 1][["w1", "c1"]], on="w1"))
+        m["side"] = np.zeros(len(m), dtype=np.int64)
+        return m[list(_A1)].astype(_A1)
+
+    with_c1 = bucketed_aggregate(
+        c12.map_batches(bg_rows, batch_format="pandas").union(
+            c1_tbl.map_batches(c1_rows, batch_format="pandas")),
+        ["w1"], join_c1, coalesce=partitions_for())
+
+    # attach c2 + score + local top-k (w2-keyed exchange)
+    _A2 = {"w1": "object", "w2": "object", "c12": "int64", "c1": "int64",
+           "c2": "int64", "side": "int64"}
+
+    def wc1_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        out = b[["w1", "w2", "c12", "c1"]].copy()
+        out["c2"] = np.zeros(n, dtype=np.int64)
+        out["side"] = np.zeros(n, dtype=np.int64)
+        return out[list(_A2)].astype(_A2)
+
+    def c2_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"w1": np.full(n, "", dtype=object), "w2": b["w2"],
+             "c12": np.zeros(n, dtype=np.int64),
+             "c1": np.zeros(n, dtype=np.int64), "c2": b["c2"],
+             "side": np.ones(n, dtype=np.int64)}).astype(_A2)
+
+    def _pmi(c12v: np.ndarray, c1v: np.ndarray, c2v: np.ndarray) -> np.ndarray:
+        import math
+
+        trips = {(int(a), int(b), int(c)) for a, b, c in zip(c12v, c1v, c2v)}
+        lut = {t: int(math.floor(
+            math.log(float(t[0] * total) / float(t[1] * t[2])) * 1_000_000))
+            for t in trips}
+        return np.asarray([lut[(int(a), int(b), int(c))]
+                           for a, b, c in zip(c12v, c1v, c2v)], dtype=np.int64)
+
+    _S = {"w1": "object", "w2": "object", "c12": "int64", "pmi_ppm": "int64"}
+
+    def score_topk(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_S)
+        m = (p[p["side"] == 0].drop(columns=["c2", "side"])
+             .merge(p[p["side"] == 1][["w2", "c2"]], on="w2"))
+        m = m[m["c12"] >= min_count]
+        if m.empty:
+            return typed_empty(_S)
+        m["pmi_ppm"] = _pmi(m["c12"].to_numpy(), m["c1"].to_numpy(),
+                            m["c2"].to_numpy())
+        m = m.sort_values(["pmi_ppm", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+        return m[list(_S)].astype(_S)
+
+    partials = bucketed_aggregate(
+        with_c1.map_batches(wc1_rows, batch_format="pandas").union(
+            c2_tbl.map_batches(c2_rows, batch_format="pandas")),
+        ["w2"], score_topk, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PMI_COLS)
+        g = g.sort_values(["pmi_ppm", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[list(_PMI_COLS)].astype(_PMI_COLS)
+
+    return small_key_aggregate(partials, final)

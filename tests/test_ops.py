@@ -1421,3 +1421,32 @@ def test_lm_logprob_exchange_arm_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(ex[list(bc.columns)], bc, check_dtype=False)
     # every bigram log-prob is ≤ 0 (c12 ≤ c1 always)
     assert (bc["logprob_ppm"] <= 0).all()
+
+
+def test_collocations_pmi_matches_pandas(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import collocations_pmi
+
+    # "a b" occurs 6×, much more than independence predicts
+    texts = ["a b x y a b", "a b z w a b", "a b q r x z"]
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                             "text": texts}),
+                   tmp_path / "documents.parquet")
+    out = collocations_pmi(str(tmp_path), k=5, min_count=2).to_pandas()
+    assert out.iloc[0]["w1"] == "a" and out.iloc[0]["w2"] == "b"
+    # reproduce the pinned arithmetic by hand
+    bigrams = []
+    for t in texts:
+        ts = t.split()
+        bigrams += list(zip(ts, ts[1:]))
+    total = len(bigrams)
+    c12 = sum(1 for p in bigrams if p == ("a", "b"))
+    c1 = sum(1 for p in bigrams if p[0] == "a")
+    c2 = sum(1 for p in bigrams if p[1] == "b")
+    want = math.floor(math.log(float(c12 * total) / float(c1 * c2)) * 1e6)
+    assert out.iloc[0]["pmi_ppm"] == want
+    assert out.iloc[0]["c12"] == c12 == 5
