@@ -1450,3 +1450,32 @@ def test_collocations_pmi_matches_pandas(ray_session, tmp_path):
     want = math.floor(math.log(float(c12 * total) / float(c1 * c2)) * 1e6)
     assert out.iloc[0]["pmi_ppm"] == want
     assert out.iloc[0]["c12"] == c12 == 5
+
+
+def test_sort_shuffle_fallback_matches_hash(ray_session, tmp_path):
+    """In-suite coverage of the GRAFT_SORT_SHUFFLE fallback arm: the same
+    keyed-exchange op must return identical results under the sort
+    strategy (groupby().map_groups path) and the hash default."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    from hebrew_ner_ray.ops.windows import events_mode_type
+
+    tbl = pa.table(
+        {"user_id": pa.array(list(range(25)) * 8, type=pa.int64()),
+         "event_type": pa.array((["view", "click"] * 100)[:200])})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    hash_out = (events_mode_type(str(tmp_path)).to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    try:
+        sort_out = (events_mode_type(str(tmp_path)).to_pandas()
+                    .sort_values("user_id").reset_index(drop=True))
+    finally:
+        ctx.shuffle_strategy = prev
+    assert len(hash_out) == 25
+    pd.testing.assert_frame_equal(sort_out, hash_out)
