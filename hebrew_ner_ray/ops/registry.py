@@ -98,6 +98,8 @@ def ops_queries():
         "events_sufficient_stats": _wrap(windows.events_sufficient_stats),
         "events_user_setops": _wrap(windows.events_user_setops),
         "events_pivot_daily": _wrap(windows.events_pivot_daily),
+        "events_top_sequences": _wrap(windows.events_top_sequences),
+        "events_cohort_retention": _wrap(windows.events_cohort_retention),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
@@ -830,6 +832,37 @@ GROUP BY window_us
         # JSON k extraction, bucketed by tens, exact micro-unit sums.
         # floor(k/10), NOT DuckDB's // (truncation) — they differ on
         # negative k (numpy's // floors)
+        # consecutive type trigrams; same (ts, event_id) order window
+        "events_top_sequences": f"""
+WITH o AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE t3 IS NOT NULL GROUP BY t1, t2, t3),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rk FROM c)
+SELECT t1, t2, t3, n, CAST(rk AS BIGINT) AS rnk
+FROM r WHERE rk <= {windows.SEQ_K} ORDER BY rnk
+""",
+        # cohort = first active day; distinct active (user, day) pairs
+        "events_cohort_retention": f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST((epoch_us(ts) // {windows.DAY_US}) * {windows.DAY_US}
+              AS BIGINT) AS day_us
+  FROM events
+),
+f AS (SELECT user_id, min(day_us) AS cohort_us FROM d GROUP BY user_id)
+SELECT f.cohort_us,
+       CAST((d.day_us - f.cohort_us) // {windows.DAY_US} AS BIGINT)
+         AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY f.cohort_us, day_offset
+""",
         # set algebra on user sets: INTERSECT / EXCEPT both directions
         "events_user_setops": """
 WITH f AS (

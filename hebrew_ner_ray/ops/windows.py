@@ -682,3 +682,116 @@ def events_pivot_daily(sf_dir: str):
 
     return sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
                            ["day_us"], merge)
+
+
+SEQ_K = 20
+_SEQ_COLS = {"t1": "object", "t2": "object", "t3": "object",
+             "n": "int64", "rnk": "int64"}
+
+
+def events_top_sequences(sf_dir: str, k: int = SEQ_K):
+    """Sequence mining lite: the top-k consecutive event-type TRIGRAMS
+    over per-user time-ordered streams. One user-keyed exchange orders
+    each user's events ((ts, event_id) tie-break — the as-of contract);
+    trigrams are formed vectorized by shifting within the partition and
+    masking user boundaries; the per-partition count combiner shrinks
+    everything to the tiny type³ domain before one small final top-k."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    _P = {"t1": "object", "t2": "object", "t3": "object", "n": "int64"}
+
+    def trigrams(p: pd.DataFrame) -> pd.DataFrame:
+        if len(p) < 3:
+            return typed_empty(_P)
+        p = pd.DataFrame({"user_id": p["user_id"],
+                          "ts_us": _epoch_us(p["ts"]),
+                          "event_id": p["event_id"],
+                          "t1": p["event_type"]})
+        p = p.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        t = p["t1"].to_numpy()
+        same = (u[:-2] == u[1:-1]) & (u[:-2] == u[2:])
+        if not same.any():
+            return typed_empty(_P)
+        g = (pd.DataFrame({"t1": t[:-2][same], "t2": t[1:-1][same],
+                           "t3": t[2:][same]})
+             .groupby(["t1", "t2", "t3"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g[list(_P)].astype(_P)
+
+    partials = bucketed_aggregate(ds, ["user_id"], trigrams,
+                                  coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_SEQ_COLS)
+        out = g.groupby(["t1", "t2", "t3"], as_index=False).agg(n=("n", "sum"))
+        out = out.sort_values(["n", "t1", "t2", "t3"],
+                              ascending=[False, True, True, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[list(_SEQ_COLS)].astype(_SEQ_COLS)
+
+    return small_key_aggregate(partials, final)
+
+
+_COHORT_COLS = {"cohort_us": "int64", "day_offset": "int64",
+                "n_users": "int64"}
+
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort day, day offset) the count of distinct users active on that
+    offset. One user-keyed exchange computes each user's first day and
+    distinct active days locally; the per-partition combiner emits
+    (cohort, offset, count) partials over the tiny day×day domain, one
+    small task finishes."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_COHORT_COLS)
+        day = (_epoch_us(p["ts"]).to_numpy() // DAY_US) * DAY_US
+        f = pd.DataFrame({"user_id": p["user_id"], "day_us": day}
+                         ).drop_duplicates()
+        first = f.groupby("user_id")["day_us"].transform("min")
+        g = pd.DataFrame(
+            {"cohort_us": first,
+             "day_offset": (f["day_us"].to_numpy() - first.to_numpy())
+             // DAY_US})
+        out = (g.groupby(["cohort_us", "day_offset"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return out[list(_COHORT_COLS)].astype(_COHORT_COLS)
+
+    partials = bucketed_aggregate(ds, ["user_id"], per_partition,
+                                  coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_COHORT_COLS)
+        return (g.groupby(["cohort_us", "day_offset"], as_index=False)
+                .agg(n_users=("n_users", "sum"))
+                [list(_COHORT_COLS)].astype(_COHORT_COLS))
+
+    return small_key_aggregate(partials, final)

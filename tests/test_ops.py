@@ -1479,3 +1479,37 @@ def test_sort_shuffle_fallback_matches_hash(ray_session, tmp_path):
         ctx.shuffle_strategy = prev
     assert len(hash_out) == 25
     pd.testing.assert_frame_equal(sort_out, hash_out)
+
+
+def test_sequences_and_retention_small(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import (
+        events_cohort_retention,
+        events_top_sequences,
+    )
+
+    D = 86_400_000_000
+    ts = pa.array([0, 1, 2, 3, 0, 1, D, 2 * D], type=pa.timestamp("us"))
+    tbl = pa.table(
+        {"user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], type=pa.int64()),
+         "event_id": pa.array(list(range(8)), type=pa.int64()),
+         "event_type": ["a", "b", "a", "b", "x", "y", "z", "z"],
+         "ts": ts})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    seq = events_top_sequences(str(tmp_path)).to_pandas()
+    # user1: aba, bab; user2: xyz, yzz — all count 1, rank lexicographic
+    got = set(zip(seq["t1"], seq["t2"], seq["t3"]))
+    assert got == {("a", "b", "a"), ("b", "a", "b"),
+                   ("x", "y", "z"), ("y", "z", "z")}
+    assert (seq["n"] == 1).all()
+    assert seq.iloc[0][["t1", "t2", "t3"]].tolist() == ["a", "b", "a"]
+
+    ret = (events_cohort_retention(str(tmp_path)).to_pandas()
+           .sort_values(["cohort_us", "day_offset"]).reset_index(drop=True))
+    # both users cohort day 0; user1 active day0 only; user2 days 0,1,2
+    assert ret["cohort_us"].tolist() == [0, 0, 0]
+    assert ret["day_offset"].tolist() == [0, 1, 2]
+    assert ret["n_users"].tolist() == [2, 1, 1]
