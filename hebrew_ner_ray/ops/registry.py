@@ -103,6 +103,7 @@ def ops_queries():
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
+        "large_volume_customers": _wrap(relational.large_volume_customers),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -923,6 +924,26 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS top_event_type,
        n AS n_events
 FROM r WHERE rk = 1
+""",
+        # Q18: HAVING on the big aggregate; tie-break (price DESC, key)
+        "large_volume_customers": f"""
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty > {relational.Q18_QTY}
+),
+j AS (
+  SELECT c.c_custkey, c.c_name, o.o_orderkey AS l_orderkey, s.sum_qty,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_price_cents
+  FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+r AS (SELECT *, row_number() OVER (
+        ORDER BY total_price_cents DESC, l_orderkey) AS rk FROM j)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, l_orderkey, sum_qty,
+       total_price_cents, CAST(rk AS BIGINT) AS rnk
+FROM r WHERE rk <= 25 ORDER BY rnk
 """,
         # ROLLUP with GROUPING() bitmask; rolled keys render '' both sides
         "pricing_rollup": """

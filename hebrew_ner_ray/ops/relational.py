@@ -1129,3 +1129,102 @@ def pricing_rollup(sf_dir: str):
 
     return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"),
                                reduce)
+
+
+Q18_QTY = 200
+_Q18_COLS = {"c_custkey": "int64", "c_name": "object", "l_orderkey": "int64",
+             "sum_qty": "int64", "total_price_cents": "int64", "rnk": "int64"}
+
+
+def large_volume_customers(sf_dir: str, k: int = 25,
+                           qty_threshold: int = Q18_QTY):
+    """TPC-H Q18 shape — HAVING on a big aggregate, then join: orders
+    whose total lineitem quantity exceeds the threshold, top-k by order
+    value with the customer attached.
+
+    The quantity aggregate is combiner-fed (per-batch per-order sums)
+    and meets the orders side in ONE orderkey exchange where the HAVING
+    filter runs; each partition emits its local top-k. Customer names
+    are resolved AFTER the top-k — a filtered point-lookup read of ≤ k
+    keys (predicate-pushdown parquet read), never a corpus-scale join:
+    the cheapest correct plan once the result is k rows."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _MID = {"l_orderkey": "int64", "sum_qty": "int64", "o_custkey": "int64",
+            "total_price_cents": "int64", "side": "int64"}
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+             "sum_qty": np.floor(b["l_quantity"].to_numpy()).astype(np.int64)})
+            .groupby("l_orderkey", as_index=False).agg(sum_qty=("sum_qty", "sum")))
+        n = len(g)
+        g["o_custkey"] = np.zeros(n, dtype=np.int64)
+        g["total_price_cents"] = np.zeros(n, dtype=np.int64)
+        g["side"] = np.ones(n, dtype=np.int64)
+        return g[list(_MID)].astype(_MID)
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+             "sum_qty": np.zeros(n, dtype=np.int64),
+             "o_custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+             "total_price_cents": np.floor(
+                 b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_MID)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+    ).map_batches(line_side, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_side, batch_format="pandas")
+
+    _TOP = {"c_custkey": "int64", "l_orderkey": "int64", "sum_qty": "int64",
+            "total_price_cents": "int64"}
+
+    def having_topk(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_TOP)
+        q = (p[p["side"] == 1].groupby("l_orderkey", as_index=False)
+             .agg(sum_qty=("sum_qty", "sum")))
+        q = q[q["sum_qty"] > qty_threshold]
+        o = p[p["side"] == 0][["l_orderkey", "o_custkey",
+                               "total_price_cents"]]
+        m = o.merge(q, on="l_orderkey")
+        if m.empty:
+            return typed_empty(_TOP)
+        m = m.sort_values(["total_price_cents", "l_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        m = m.rename(columns={"o_custkey": "c_custkey"})
+        return m[list(_TOP)].astype(_TOP)
+
+    partials = bucketed_aggregate(orders.union(lines), ["l_orderkey"],
+                                  having_topk, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q18_COLS)
+        g = g.sort_values(["total_price_cents", "l_orderkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        # point-lookup of ≤ k customer names: predicate-pushdown read
+        keys = sorted(set(int(x) for x in g["c_custkey"]))
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+            filters=[("c_custkey", "in", keys)]).to_pandas()
+        names = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
+        g["c_name"] = g["c_custkey"].map(names)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[list(_Q18_COLS)].astype(_Q18_COLS)
+
+    return small_key_aggregate(partials, final)

@@ -1513,3 +1513,31 @@ def test_sequences_and_retention_small(ray_session, tmp_path):
     assert ret["cohort_us"].tolist() == [0, 0, 0]
     assert ret["day_offset"].tolist() == [0, 1, 2]
     assert ret["n_users"].tolist() == [2, 1, 1]
+
+
+def test_large_volume_customers_having_and_lookup(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import large_volume_customers
+
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([1, 1, 2, 3, 3, 3], type=pa.int64()),
+         "l_quantity": [5.0, 4.0, 20.0, 4.0, 4.0, 4.0]}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+         "o_custkey": pa.array([7, 8, 7], type=pa.int64()),
+         "o_totalprice": [10.0, 99.0, 55.0]}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([7, 8], type=pa.int64()),
+         "c_name": ["Customer7", "Customer8"]}),
+        tmp_path / "customer.parquet")
+    # threshold 10: order1 qty 9 (out), order2 qty 20 (in), order3 qty 12 (in)
+    out = large_volume_customers(str(tmp_path), k=10,
+                                 qty_threshold=10).to_pandas()
+    assert out["l_orderkey"].tolist() == [2, 3]  # by price desc
+    assert out["sum_qty"].tolist() == [20, 12]
+    assert out["c_name"].tolist() == ["Customer8", "Customer7"]
+    assert out["rnk"].tolist() == [1, 2]
