@@ -122,6 +122,7 @@ def ops_queries():
         "text_fuzzy_clusters": _wrap(textstats.fuzzy_token_clusters),
         "lm_doc_logprob": _wrap(textstats.lm_doc_logprob),
         "text_collocations": _wrap(textstats.collocations_pmi),
+        "text_heavy_hitters_by_lang": _wrap(textstats.heavy_hitters_by_lang),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -773,6 +774,20 @@ WITH h AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_ws_tokens,
        CAST(row_number() OVER (ORDER BY n, doc_id) AS BIGINT) AS global_rank
 FROM h
+""",
+        # grouped heavy hitters (QUALIFY idiom); (tf DESC, token) window
+        "text_heavy_hitters_by_lang": rf"""
+WITH tk AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY lang, token),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY tf DESC, token) AS rk FROM c)
+SELECT lang, token, tf, CAST(rk AS BIGINT) AS rnk
+FROM r WHERE rk <= {textstats.GROUP_HH_K}
+ORDER BY lang, rnk
 """,
         # corpus-wide top-k tokens; tie-break (total_tf DESC, token ASC)
         # matches the engine's per-partition/final mergesort exactly

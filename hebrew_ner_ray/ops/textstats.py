@@ -1233,3 +1233,66 @@ def collocations_pmi(sf_dir: str, k: int = PMI_K,
         return g[list(_PMI_COLS)].astype(_PMI_COLS)
 
     return small_key_aggregate(partials, final)
+
+
+GROUP_HH_K = 10
+_GHH_COLS = {"lang": "object", "token": "object", "tf": "int64",
+             "rnk": "int64"}
+
+
+def heavy_hitters_by_lang(sf_dir: str, k: int = GROUP_HH_K):
+    """Grouped heavy hitters: the top-k tokens PER language stratum (the
+    QUALIFY row_number ≤ k idiom over a two-level key). Per-batch
+    (lang, token) value_counts combiner → exchange keyed on BOTH columns
+    (complete (lang, token) keys per partition) → per-partition sum →
+    per-lang local top-k (k rows per (lang, partition) cross the final
+    hop) → one small task ranks within each lang. Tie-break
+    (tf DESC, token ASC) pinned in the window oracle."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        partitions_for,
+        sized_aggregate,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    _P = {"lang": "object", "token": "object", "tf": "int64"}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+")
+        e = pd.DataFrame({"lang": b["lang"], "token": toks}).explode("token")
+        e = e[e["token"].notna()]
+        if e.empty:
+            return typed_empty(_P)
+        return (e.groupby(["lang", "token"], as_index=False).size()
+                .rename(columns={"size": "tf"})[list(_P)].astype(_P))
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_P)
+        out = g.groupby(["lang", "token"], as_index=False).agg(tf=("tf", "sum"))
+        out = out.sort_values(["lang", "tf", "token"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = out.groupby("lang", sort=False).head(k)
+        return out[list(_P)].astype(_P)
+
+    agg = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                          ["lang", "token"], part_topk,
+                          coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_GHH_COLS)
+        out = g.groupby(["lang", "token"], as_index=False).agg(tf=("tf", "sum"))
+        out = out.sort_values(["lang", "tf", "token"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = out.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        out["rnk"] = (out.groupby("lang", sort=False).cumcount() + 1
+                      ).astype(np.int64)
+        return out[list(_GHH_COLS)].astype(_GHH_COLS)
+
+    return small_key_aggregate(agg, final)

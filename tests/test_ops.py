@@ -933,6 +933,32 @@ def test_heavy_hitters_counts_and_tiebreak(ray_session, tmp_path):
     assert out2["rnk"].tolist() == [1, 2]
 
 
+def test_heavy_hitters_by_lang_stratified_topk(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import heavy_hitters_by_lang
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "lang": ["he", "he", "en", "en"],
+            "text": ["b a a", "A b b", "x y Y", "y z"],
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = heavy_hitters_by_lang(str(tmp_path), k=2).to_pandas()
+    # he: a=3, b=3 → tie broken token-asc (a,b); en: y=3, x=1, z=1 → (y,x)
+    he = out[out["lang"] == "he"]
+    en = out[out["lang"] == "en"]
+    assert he["token"].tolist() == ["a", "b"]
+    assert he["tf"].tolist() == [3, 3]
+    assert he["rnk"].tolist() == [1, 2]
+    assert en["token"].tolist() == ["y", "x"]
+    assert en["tf"].tolist() == [3, 1]
+    assert en["rnk"].tolist() == [1, 2]
+
+
 def test_running_total_tiebreak_and_first_gap(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
