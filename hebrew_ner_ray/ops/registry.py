@@ -100,10 +100,13 @@ def ops_queries():
         "events_pivot_daily": _wrap(windows.events_pivot_daily),
         "events_top_sequences": _wrap(windows.events_top_sequences),
         "events_cohort_retention": _wrap(windows.events_cohort_retention),
+        "events_concurrency": _wrap(windows.events_concurrency),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
         "large_volume_customers": _wrap(relational.large_volume_customers),
+        "order_count_distribution": _wrap(relational.order_count_distribution),
+        "promo_revenue": _wrap(relational.promo_revenue),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -123,6 +126,8 @@ def ops_queries():
         "lm_doc_logprob": _wrap(textstats.lm_doc_logprob),
         "text_collocations": _wrap(textstats.collocations_pmi),
         "text_heavy_hitters_by_lang": _wrap(textstats.heavy_hitters_by_lang),
+        "text_cms_heavy_estimate": _wrap(textstats.cms_heavy_estimate),
+        "doc_pareto_frontier": _wrap(textstats.doc_pareto_frontier),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -789,6 +794,56 @@ SELECT lang, token, tf, CAST(rk AS BIGINT) AS rnk
 FROM r WHERE rk <= {textstats.GROUP_HH_K}
 ORDER BY lang, rnk
 """,
+        # CMS cells recomputed exactly (shared md5 contract, collisions
+        # included); estimate = min over the CMS_D row cells
+        "text_cms_heavy_estimate": rf"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1),
+rows_ AS (SELECT unnest(range({textstats.CMS_D})) AS r),
+cells AS (
+  SELECT r,
+         {sql_stable_id("'cms' || CAST(r AS VARCHAR) || '|' || token")}
+           % {textstats.CMS_W} AS cell,
+         CAST(sum(tf) AS BIGINT) AS cnt
+  FROM c CROSS JOIN rows_ GROUP BY 1, 2
+),
+heavy AS (
+  SELECT token, tf, rk FROM (
+    SELECT token, tf,
+           CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rk
+    FROM c) WHERE rk <= {textstats.HEAVY_K}
+)
+SELECT h.token, h.tf AS exact_tf, CAST(min(ce.cnt) AS BIGINT) AS cms_tf,
+       CAST(min(ce.cnt) - h.tf AS BIGINT) AS overcount, h.rk AS rnk
+FROM heavy h CROSS JOIN rows_ r
+JOIN cells ce
+  ON ce.r = r.r
+ AND ce.cell = {sql_stable_id("'cms' || CAST(r.r AS VARCHAR) || '|' || h.token")}
+               % {textstats.CMS_W}
+GROUP BY h.token, h.tf, h.rk
+""",
+        # skyline as the canonical NOT EXISTS dominance statement
+        "doc_pareto_frontier": r"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pts AS (
+  SELECT CAST(n_chars AS BIGINT) AS n_chars, n_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS min_doc_id
+  FROM m GROUP BY 1, 2
+)
+SELECT * FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.n_chars <= p.n_chars AND q.n_tokens >= p.n_tokens
+    AND (q.n_chars < p.n_chars OR q.n_tokens > p.n_tokens))
+ORDER BY n_chars
+""",
         # corpus-wide top-k tokens; tie-break (total_tf DESC, token ASC)
         # matches the engine's per-partition/final mergesort exactly
         "text_heavy_hitters": rf"""
@@ -879,6 +934,25 @@ SELECT f.cohort_us,
 FROM d JOIN f USING (user_id)
 GROUP BY f.cohort_us, day_offset
 """,
+        # interval-overlap semantics stated as the O(k²) self-join the
+        # engine's sweep replaces; [s,e) half-open, empty intervals dropped
+        "events_concurrency": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+nz AS (SELECT * FROM iv WHERE e > s),
+cov AS (
+  SELECT a.user_id, a.s, count(*) AS c
+  FROM nz a JOIN nz b ON a.user_id = b.user_id
+                     AND b.s <= a.s AND a.s < b.e
+  GROUP BY a.user_id, a.s
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(c) AS BIGINT) AS max_concurrency
+FROM cov GROUP BY 1
+""",
         # set algebra on user sets: INTERSECT / EXCEPT both directions
         "events_user_setops": """
 WITH f AS (
@@ -959,6 +1033,36 @@ r AS (SELECT *, row_number() OVER (
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, l_orderkey, sum_qty,
        total_price_cents, CAST(rk AS BIGINT) AS rnk
 FROM r WHERE rk <= 25 ORDER BY rnk
+""",
+        # Q13 shape: LEFT join keeps zero-order customers as a bucket
+        "order_count_distribution": """
+WITH cc AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+""",
+        # Q14 shape: conditional aggregate over the part join; exact
+        # integer cents, ppm via the same float64 multiply-divide-floor
+        "promo_revenue": f"""
+WITH f AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE strftime(l_shipdate, '%Y-%m-%d') >= '{relational.Q14_LO}'
+    AND strftime(l_shipdate, '%Y-%m-%d') < '{relational.Q14_HI}'
+),
+j AS (
+  SELECT cents, CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END AS pc
+  FROM f JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(sum(pc) AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(floor(sum(pc) * 1000000.0 / sum(cents)) AS BIGINT) AS promo_ppm
+FROM j
 """,
         # ROLLUP with GROUPING() bitmask; rolled keys render '' both sides
         "pricing_rollup": """

@@ -1228,3 +1228,212 @@ def large_volume_customers(sf_dir: str, k: int = 25,
         return g[list(_Q18_COLS)].astype(_Q18_COLS)
 
     return small_key_aggregate(partials, final)
+
+
+_Q13_COLS = {"c_count": "int64", "custdist": "int64"}
+
+
+def order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count —
+    a LEFT join whose unmatched side must survive (customers with zero
+    orders are a histogram bucket, not a dropped row).
+
+    Plan: per-batch order-count combiners (custkey → n) union the
+    customer keys side-marked into ONE exchange keyed on custkey; each
+    complete-key partition resolves the left join locally (customers
+    missing from the orders side get c_count = 0) and emits its
+    HISTOGRAM partial (c_count → custdist) — so the final hop carries
+    ≈ distinct order counts per partition, never a customer-sized
+    relation. Both sides are corpus-sized; nothing is broadcast.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _ROW = {"custkey": "int64", "n": "int64", "side": "int64"}
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["o_custkey"].value_counts()
+        return pd.DataFrame({
+            "custkey": vc.index.to_numpy(dtype=np.int64),
+            "n": vc.to_numpy(dtype=np.int64),
+            "side": np.ones(len(vc), dtype=np.int64),
+        })
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+            "n": np.zeros(len(b), dtype=np.int64),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(order_side, batch_format="pandas")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(cust_side, batch_format="pandas")
+
+    def hist_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q13_COLS)
+        counts = (part[part["side"] == 1]
+                  .groupby("custkey")["n"].sum())
+        ckeys = part.loc[part["side"] == 0, "custkey"]
+        c_count = ckeys.map(counts).fillna(0).astype(np.int64)
+        vc = c_count.value_counts()
+        return pd.DataFrame({
+            "c_count": vc.index.to_numpy(dtype=np.int64),
+            "custdist": vc.to_numpy(dtype=np.int64),
+        })
+
+    partials = bucketed_aggregate(cust.union(orders), ["custkey"],
+                                  hist_part, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q13_COLS)
+        out = g.groupby("c_count", as_index=False).agg(
+            custdist=("custdist", "sum"))
+        return out[list(_Q13_COLS)].astype(_Q13_COLS)
+
+    return small_key_aggregate(partials, final)
+
+
+Q14_LO = "1996-01-01"
+Q14_HI = "1997-01-01"
+_Q14_COLS = {"promo_cents": "int64", "total_cents": "int64",
+             "promo_ppm": "int64"}
+
+
+def promo_revenue(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
+    """TPC-H Q14 shape: share of revenue from promotional parts — a
+    conditional aggregate over a dimension join, reduced to ONE row.
+
+    Size-aware like :func:`revenue_by_nation`: part within the broadcast
+    limit ships ONCE as (sorted partkey, is-promo bitmask) and every
+    lineitem batch folds to a single (promo, total) partial — zero
+    shuffle; a 100-TB part table takes the keyed-exchange arm
+    automatically. The ratio is integer ppm computed from EXACT integer
+    cent sums (same float64 multiply-divide-floor on both sides).
+    """
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    if n_part > broadcast_dim_limit:
+        return _promo_revenue_exchange(sf_dir)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    order_idx = np.argsort(pk)
+    promo = (np.asarray(part.column("p_type").to_pylist(), dtype=object)
+             == "PROMO")[order_idx]
+    dim_ref = ray.put((pk[order_idx], promo))
+
+    class Fold:
+        def __init__(self):
+            self.pk, self.promo = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+            b = b[(d >= Q14_LO) & (d < Q14_HI)]
+            if b.empty:
+                return typed_empty({"promo_cents": "int64", "total_cents": "int64"})
+            cents = np.floor(b["l_extendedprice"].to_numpy()
+                             * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+            pos = np.searchsorted(self.pk, b["l_partkey"].to_numpy())
+            is_promo = self.promo[pos]
+            return pd.DataFrame({
+                "promo_cents": [np.int64(cents[is_promo].sum())],
+                "total_cents": [np.int64(cents.sum())],
+            })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    partials = ds.map_batches(Fold, batch_format="pandas",
+                              concurrency=default_concurrency())
+    return small_key_aggregate(partials, _promo_final)
+
+
+def _promo_final(g: pd.DataFrame) -> pd.DataFrame:
+    from hebrew_ner_ray.ops.shuffle import typed_empty
+
+    if g.empty:
+        return typed_empty(_Q14_COLS)
+    promo = np.int64(g["promo_cents"].sum())
+    total = np.int64(g["total_cents"].sum())
+    ppm = np.int64(np.floor(promo * 1_000_000.0 / total)) if total else np.int64(0)
+    return pd.DataFrame({"promo_cents": [promo], "total_cents": [total],
+                         "promo_ppm": [ppm]}).astype(_Q14_COLS)
+
+
+def _promo_revenue_exchange(sf_dir: str):
+    """Exchange arm: lineitem cent-combiners ⋈ part on partkey."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _ROW = {"partkey": "int64", "cents": "int64", "side": "int64"}
+    _PART = {"promo_cents": "int64", "total_cents": "int64"}
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+        b = b[(d >= Q14_LO) & (d < Q14_HI)]
+        if b.empty:
+            return typed_empty(_ROW)
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        g = (pd.DataFrame({"partkey": b["l_partkey"].to_numpy(dtype=np.int64),
+                           "cents": cents})
+             .groupby("partkey", as_index=False).agg(cents=("cents", "sum")))
+        g["side"] = np.int64(1)
+        return g[list(_ROW)].astype(_ROW)
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "partkey": b["p_partkey"].to_numpy(dtype=np.int64),
+            "cents": (np.asarray(b["p_type"].to_numpy(), dtype=object)
+                      == "PROMO").astype(np.int64),
+            "side": np.zeros(len(b), dtype=np.int64),
+        })
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(line_side, batch_format="pandas")
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(part_side, batch_format="pandas")
+
+    def join_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_PART)
+        li = (part[part["side"] == 1]
+              .groupby("partkey", as_index=False).agg(cents=("cents", "sum")))
+        pm = part[part["side"] == 0][["partkey", "cents"]].rename(
+            columns={"cents": "is_promo"})
+        m = li.merge(pm, on="partkey")
+        if m.empty:
+            return typed_empty(_PART)
+        return pd.DataFrame({
+            "promo_cents": [np.int64(m.loc[m["is_promo"] == 1, "cents"].sum())],
+            "total_cents": [np.int64(m["cents"].sum())],
+        })
+
+    partials = bucketed_aggregate(parts.union(lines), ["partkey"],
+                                  join_part, coalesce=partitions_for())
+    return small_key_aggregate(partials, _promo_final)

@@ -1296,3 +1296,169 @@ def heavy_hitters_by_lang(sf_dir: str, k: int = GROUP_HH_K):
         return out[list(_GHH_COLS)].astype(_GHH_COLS)
 
     return small_key_aggregate(agg, final)
+
+
+CMS_D = 4        # sketch rows (independent hash functions)
+CMS_W = 1024     # cells per row
+_CMS_COLS = {"token": "object", "exact_tf": "int64", "cms_tf": "int64",
+             "overcount": "int64", "rnk": "int64"}
+
+
+def _cms_cells(tokens, r: int) -> np.ndarray:
+    """Row-r CMS cell per token: stable_id('cms{r}|token') mod CMS_W —
+    the engine's shared md5 contract, so the SQL twin reproduces every
+    cell exactly (collisions included)."""
+    from hebrew_ner_ray.kg.ids import stable_ids
+
+    salted = [f"cms{r}|{t}" for t in tokens]
+    return (stable_ids(salted) % CMS_W).astype(np.int64)
+
+
+def cms_heavy_estimate(sf_dir: str, k: int = HEAVY_K):
+    """Count-min sketch point queries checked against exact counts — the
+    mergeable-sketch pattern with a VALUE oracle (not just a recall
+    number): for each of the exact top-k tokens, emit its true frequency,
+    its CMS estimate, and the overcount (≥ 0 by construction).
+
+    The sketch is the 100-TB story: every batch folds its local token
+    counts into a fixed CMS_D×CMS_W = 4096-cell grid, partials are summed
+    by cell (CMS merge = cell-wise add, exactly associative in int64), so
+    the exchange carries ≤ 4096 rows per block REGARDLESS of corpus or
+    vocabulary size. The exact top-k side reuses :func:`heavy_hitters`
+    (its own combiner pipeline); the two tiny results meet in one final
+    task that reads each heavy token's CMS_D cells and takes the min.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    _CELL = {"r": "int64", "cell": "int64", "cnt": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+").explode().dropna()
+        if toks.empty:
+            return typed_empty(_CELL)
+        vc = toks.value_counts()
+        tokens = vc.index.to_numpy(dtype=object)
+        tf = vc.to_numpy(dtype=np.int64)
+        grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for r in range(CMS_D):
+            np.add.at(grid[r], _cms_cells(tokens, r), tf)
+        r_idx, cells = np.nonzero(grid)
+        return pd.DataFrame({"r": r_idx.astype(np.int64),
+                             "cell": cells.astype(np.int64),
+                             "cnt": grid[r_idx, cells]})
+
+    def merge_cells(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CELL)
+        return (g.groupby(["r", "cell"], as_index=False)["cnt"].sum()
+                .astype(_CELL))
+
+    # ≤ 4096 distinct (r, cell) keys → single-task merge, no exchange
+    sketch = small_key_aggregate(
+        ds.map_batches(sketch_partial, batch_format="pandas"), merge_cells)
+
+    heavy = heavy_hitters(sf_dir, k=k)
+
+    # both sides are tiny (4096 + k rows); side-mark, union, one task
+    def mark_sketch(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": "", "tf": b["cnt"].astype(np.int64),
+                             "rnk": b["r"].astype(np.int64),
+                             "cell": b["cell"].astype(np.int64),
+                             "side": np.zeros(len(b), dtype=np.int64)})
+
+    def mark_heavy(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": b["token"].astype(object),
+                             "tf": b["total_tf"].astype(np.int64),
+                             "rnk": b["rnk"].astype(np.int64),
+                             "cell": np.zeros(len(b), dtype=np.int64),
+                             "side": np.ones(len(b), dtype=np.int64)})
+
+    both = (sketch.map_batches(mark_sketch, batch_format="pandas")
+            .union(heavy.map_batches(mark_heavy, batch_format="pandas")))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or not (g["side"] == 1).any():
+            return typed_empty(_CMS_COLS)
+        sk = g[g["side"] == 0]
+        grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        grid[sk["rnk"].to_numpy(dtype=np.int64),
+             sk["cell"].to_numpy(dtype=np.int64)] = sk["tf"].to_numpy(dtype=np.int64)
+        hv = g[g["side"] == 1]
+        tokens = hv["token"].to_numpy(dtype=object)
+        est = np.min(np.stack([grid[r, _cms_cells(tokens, r)]
+                               for r in range(CMS_D)]), axis=0)
+        exact = hv["tf"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "token": tokens, "exact_tf": exact, "cms_tf": est,
+            "overcount": est - exact,
+            "rnk": hv["rnk"].to_numpy(dtype=np.int64),
+        }).astype(_CMS_COLS)
+
+    return small_key_aggregate(both, final)
+
+
+_PARETO_COLS = {"n_chars": "int64", "n_tokens": "int64", "n_docs": "int64",
+                "min_doc_id": "int64"}
+
+
+def _skyline(pts: pd.DataFrame) -> pd.DataFrame:
+    """Frontier of (n_chars min, n_tokens max) points: per n_chars keep
+    the max-token point, then a running-max sweep over ascending n_chars
+    keeps strictly-increasing n_tokens. Distinct points only; dominance
+    requires strict improvement on at least one axis, so ties merge
+    upstream rather than dominate."""
+    best = (pts.sort_values(["n_chars", "n_tokens"], ascending=[True, False],
+                            kind="mergesort")
+            .drop_duplicates("n_chars", keep="first"))
+    t = best["n_tokens"].to_numpy(dtype=np.int64)
+    run = np.maximum.accumulate(t)
+    keep = np.ones(len(t), dtype=bool)
+    keep[1:] = t[1:] > run[:-1]
+    return best[keep]
+
+
+def doc_pareto_frontier(sf_dir: str):
+    """Pareto frontier (skyline) of documents on (fewest chars, most
+    whitespace tokens) — the densest-documents frontier, a multi-criteria
+    top set no single ORDER BY can produce.
+
+    Distributed skyline identity: a globally non-dominated point is
+    non-dominated in every batch that contains it, so the global frontier
+    is the skyline of the union of per-batch skylines. Each batch groups
+    to distinct (n_chars, n_tokens) points (cnt, min doc_id), prunes to
+    its local frontier — typically a few dozen points — and only those
+    candidates travel; the final task merges counts per point and prunes
+    once more. Counts stay exact because a surviving point survives in
+    EVERY batch it appears in. The SQL twin states dominance as the
+    canonical NOT EXISTS.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = pd.DataFrame({
+            "n_chars": b["n_chars"].to_numpy(dtype=np.int64),
+            "n_tokens": b["text"].str.count(r"\S+").to_numpy(dtype=np.int64),
+            "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+        })
+        pts = m.groupby(["n_chars", "n_tokens"], as_index=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min"))
+        return _skyline(pts)[list(_PARETO_COLS)].astype(_PARETO_COLS)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PARETO_COLS)
+        pts = g.groupby(["n_chars", "n_tokens"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_doc_id=("min_doc_id", "min"))
+        return _skyline(pts)[list(_PARETO_COLS)].astype(_PARETO_COLS)
+
+    return small_key_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), final)

@@ -795,3 +795,55 @@ def events_cohort_retention(sf_dir: str):
                 [list(_COHORT_COLS)].astype(_COHORT_COLS))
 
     return small_key_aggregate(partials, final)
+
+
+_CONC_COLS = {"user_id": "int64", "max_concurrency": "int64"}
+
+
+def events_concurrency(sf_dir: str):
+    """Per-user MAX CONCURRENT intervals — the interval-overlap sweep.
+
+    Each event is the half-open interval [ts, ts + value seconds); the
+    answer per user is the max number of simultaneously-open intervals,
+    attained at some interval start. One keyed exchange on user_id
+    co-locates each user's events; the per-user kernel is the classic
+    sorted sweep (starts vs ends two-pointer via searchsorted), O(k log k)
+    per user with no pairwise blow-up — the SQL twin's self-join is
+    O(k²) per user and exists only as the semantics statement. Zero-length
+    intervals (non-positive durations) are dropped on BOTH sides, so
+    every kept event covers its own start and max ≥ 1 for emitted users.
+    Skew note: one user's events must fit a worker's heap (same contract
+    as sessions/top_per_user); a pathological single-user corpus would
+    need start-bucketed pre-sweeps carrying (opens, closes) boundary
+    partials.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def iv(b: pd.DataFrame) -> pd.DataFrame:
+        s = _epoch_us(b["ts"]).to_numpy()
+        dur = _micro(b["value"])
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "s": s, "e": s + dur,
+        })
+        return out[out["e"] > out["s"]]
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CONC_COLS)
+        starts = np.sort(g["s"].to_numpy())
+        ends = np.sort(g["e"].to_numpy())
+        # open intervals at start t: #starts ≤ t − #ends ≤ t  ([s,e) covers
+        # t iff s ≤ t < e); evaluated at every start, max is the answer
+        conc = (np.arange(1, len(starts) + 1)
+                - np.searchsorted(ends, starts, side="right"))
+        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
+                             "max_concurrency": [np.int64(conc.max())]})
+
+    return grouped_exchange(ds.map_batches(iv, batch_format="pandas"),
+                            ["user_id"], sweep)

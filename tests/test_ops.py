@@ -1567,3 +1567,89 @@ def test_large_volume_customers_having_and_lookup(ray_session, tmp_path):
     assert out["sum_qty"].tolist() == [20, 12]
     assert out["c_name"].tolist() == ["Customer8", "Customer7"]
     assert out["rnk"].tolist() == [1, 2]
+
+
+def test_order_count_distribution_zero_orders_bucket(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import order_count_distribution
+
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3, 4], type=pa.int64())})
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+    })
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    out = (order_count_distribution(str(tmp_path)).to_pandas()
+           .sort_values("c_count").reset_index(drop=True))
+    # custkey1→3 orders, custkey2→1, custkeys 3 & 4 → the ZERO bucket
+    assert out["c_count"].tolist() == [0, 1, 3]
+    assert out["custdist"].tolist() == [2, 1, 1]
+
+
+def test_promo_revenue_arms_agree(ray_session):
+    from hebrew_ner_ray.ops.relational import promo_revenue
+
+    SF = "/root/testdata/sf0.001"
+    bc = promo_revenue(SF).to_pandas()
+    ex = promo_revenue(SF, broadcast_dim_limit=0).to_pandas()
+    assert len(bc) == 1
+    assert bc["total_cents"].iloc[0] > 0
+    pd.testing.assert_frame_equal(bc, ex[list(bc.columns)])
+
+
+def test_events_concurrency_half_open_and_empty_intervals(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    # user 7: [0,10s) [5s,15s) [10s,12s) → max 2 (10s start is NOT covered
+    # by [0,10s): half-open); the 0-duration event at 5s is dropped
+    # user 8: one event → max 1
+    ts = [base, base + pd.Timedelta(seconds=5), base + pd.Timedelta(seconds=10),
+          base + pd.Timedelta(seconds=5), base]
+    tbl = pa.table({
+        "user_id": pa.array([7, 7, 7, 7, 8], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array([10.0, 10.0, 2.0, 0.0, 3.0], type=pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_concurrency(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [7, 8]
+    assert out["max_concurrency"].tolist() == [2, 1]
+
+
+def test_cms_estimate_never_undercounts(ray_session):
+    from hebrew_ner_ray.ops.textstats import cms_heavy_estimate
+
+    out = cms_heavy_estimate("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["overcount"] >= 0).all()
+    assert (out["cms_tf"] >= out["exact_tf"]).all()
+
+
+def test_pareto_frontier_dominance(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import doc_pareto_frontier
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": ["a b c", "a b", "a b c", "x", "a b c"],
+        # (chars, tokens): d1 (5,3) d2 (5,2) d3 (4,3) d4 (3,1) d5 (4,3)
+        "n_chars": pa.array([5, 5, 4, 3, 4], type=pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (doc_pareto_frontier(str(tmp_path)).to_pandas()
+           .sort_values("n_chars").reset_index(drop=True))
+    # (4,3)×2 dominates (5,3) and (5,2); (3,1) survives (fewer chars,
+    # fewer tokens — incomparable): frontier = {(3,1), (4,3)}
+    assert out["n_chars"].tolist() == [3, 4]
+    assert out["n_tokens"].tolist() == [1, 3]
+    assert out["n_docs"].tolist() == [1, 2]
+    assert out["min_doc_id"].tolist() == [4, 3]
