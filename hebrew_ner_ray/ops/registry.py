@@ -101,12 +101,14 @@ def ops_queries():
         "events_top_sequences": _wrap(windows.events_top_sequences),
         "events_cohort_retention": _wrap(windows.events_cohort_retention),
         "events_concurrency": _wrap(windows.events_concurrency),
+        "events_daily_unique": _wrap(windows.events_daily_unique),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
         "large_volume_customers": _wrap(relational.large_volume_customers),
         "order_count_distribution": _wrap(relational.order_count_distribution),
         "promo_revenue": _wrap(relational.promo_revenue),
+        "price_quantiles": _wrap(relational.price_quantiles_twopass),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -128,6 +130,8 @@ def ops_queries():
         "text_heavy_hitters_by_lang": _wrap(textstats.heavy_hitters_by_lang),
         "text_cms_heavy_estimate": _wrap(textstats.cms_heavy_estimate),
         "doc_pareto_frontier": _wrap(textstats.doc_pareto_frontier),
+        "text_kcore": _wrap(textstats.text_kcore),
+        "corpus_split_assign": _wrap(textstats.corpus_split_assign),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -182,6 +186,42 @@ lsh_pairs AS (
   JOIN embeddings eb ON eb.vec_id = c.b
   WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                CAST(eb.embedding AS DOUBLE[])) >= {tau})"""
+
+
+def _sql_kcore(k: int, rounds: int = 8) -> str:
+    """Unrolled k-core peel over the token-adjacency graph. Sound in the
+    unroll direction because peeling is idempotent at the fixed point:
+    with ``rounds`` ≥ the engine's converged round count (the engine
+    raises past its own safety bound, and equality is verified at test
+    scale), extra peels are no-ops."""
+    # AS MATERIALIZED throughout: DuckDB inlines CTEs by default, which
+    # would re-evaluate every earlier peel round (and the parquet scan)
+    # exponentially many times across the unroll
+    ctes = [r"""tk AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+  WHERE t[i] <> t[i+1]
+)"""]
+    for r in range(rounds):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r})
+  GROUP BY 1
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a NOT IN (SELECT node FROM d{r} WHERE d < {k})
+    AND b NOT IN (SELECT node FROM d{r} WHERE d < {k})
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node AS token, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY 1
+""")
 
 
 def _sql_clusters() -> str:
@@ -844,6 +884,20 @@ WHERE NOT EXISTS (
     AND (q.n_chars < p.n_chars OR q.n_tokens > p.n_tokens))
 ORDER BY n_chars
 """,
+        "text_kcore": _sql_kcore(textstats.KCORE_K),
+        # the identical md5 split hash; CASE over the recomputed bucket
+        "corpus_split_assign": f"""
+WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {sql_stable_id("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < {textstats.SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {textstats.SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
         # corpus-wide top-k tokens; tie-break (total_tf DESC, token ASC)
         # matches the engine's per-partition/final mergesort exactly
         "text_heavy_hitters": rf"""
@@ -952,6 +1006,28 @@ cov AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(c) AS BIGINT) AS max_concurrency
 FROM cov GROUP BY 1
+""",
+        # exact COUNT DISTINCT per (type, day)
+        "events_daily_unique": f"""
+SELECT event_type,
+       CAST((epoch_us(ts) // {windows.DAY_US}) * {windows.DAY_US}
+            AS BIGINT) AS day_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        # rank semantics pinned: value at 1-based rank ceil(p·N/100),
+        # integer ceil (N·p + 99) // 100 — identical to the engine's
+        # two-pass radix refinement
+        "price_quantiles": f"""
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n
+      FROM c)
+SELECT CAST(p.q AS BIGINT) AS q_pct, r.v AS value_cents
+FROM (VALUES {", ".join(f"({p})" for p in relational.QUANT_PCTS)}) p(q)
+JOIN r ON r.rn = (r.n * p.q + 99) // 100
 """,
         # set algebra on user sets: INTERSECT / EXCEPT both directions
         "events_user_setops": """

@@ -1437,3 +1437,88 @@ def _promo_revenue_exchange(sf_dir: str):
     partials = bucketed_aggregate(parts.union(lines), ["partkey"],
                                   join_part, coalesce=partitions_for())
     return small_key_aggregate(partials, _promo_final)
+
+
+QUANT_PCTS = (25, 50, 75, 99)
+QUANT_SHIFT = 12  # pass-1 bucket = cents >> 12 (4096-cent coarse bins)
+_QUANT_COLS = {"q_pct": "int64", "value_cents": "int64"}
+
+
+def price_quantiles_twopass(sf_dir: str, pcts=QUANT_PCTS):
+    """EXACT quantiles of a LARGE-domain value (lineitem price cents,
+    ~10⁷ distinct values) — the two-pass radix refinement that replaces a
+    global sort at 100 TB.
+
+    token_quantiles' one-pass histogram relies on a tiny value domain;
+    here the domain is too wide, so pass 1 histograms the HIGH bits
+    (cents >> 12 → ≤ a few thousand coarse bins, combiner-shrunk,
+    corpus-size-independent), the driver locates each target rank's bin
+    from the tiny cumulative table, and pass 2 re-scans with a vectorized
+    filter to those ≤ len(pcts) bins and histograms exact values inside
+    them. Two streaming passes, nothing corpus-sized collected. Rank
+    semantics pinned (ceil(p·N/100), 1-based, integer ceil) identically
+    in the SQL window twin.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    _H = {"bucket": "int64", "cnt": "int64"}
+
+    def read():
+        return ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                     columns=["l_extendedprice"])
+
+    def cents_of(b: pd.DataFrame) -> np.ndarray:
+        return np.floor(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+
+    def coarse(b: pd.DataFrame) -> pd.DataFrame:
+        bucket, cnt = np.unique(cents_of(b) >> QUANT_SHIFT, return_counts=True)
+        return pd.DataFrame({"bucket": bucket, "cnt": cnt.astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_H)
+        return g.groupby("bucket", as_index=False).agg(cnt=("cnt", "sum")).astype(_H)
+
+    hist = (small_key_aggregate(read().map_batches(coarse, batch_format="pandas"),
+                                merge)
+            .to_pandas().sort_values("bucket").reset_index(drop=True))
+    if hist.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _QUANT_COLS.items()}))
+
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    ranks = {p: (n * p + 99) // 100 for p in pcts}  # ceil(p·N/100), 1-based
+    # bin containing rank r: first bucket whose cumulative count ≥ r
+    bin_of = {p: int(hist["bucket"].iloc[np.searchsorted(cum, r)])
+              for p, r in ranks.items()}
+    # rank offset INSIDE the bin (count of values in earlier bins)
+    below = {p: int(cum[np.searchsorted(cum, r) - 1])
+             if np.searchsorted(cum, r) > 0 else 0
+             for p, r in ranks.items()}
+    need = sorted(set(bin_of.values()))
+    need_arr = np.asarray(need, dtype=np.int64)
+
+    def fine(b: pd.DataFrame) -> pd.DataFrame:
+        c = cents_of(b)
+        c = c[np.isin(c >> QUANT_SHIFT, need_arr)]
+        v, cnt = np.unique(c, return_counts=True)
+        return pd.DataFrame({"bucket": v, "cnt": cnt.astype(np.int64)})
+
+    fh = (small_key_aggregate(read().map_batches(fine, batch_format="pandas"),
+                              merge)
+          .to_pandas().sort_values("bucket").reset_index(drop=True))
+    out = []
+    for p in pcts:
+        inbin = fh[(fh["bucket"].to_numpy() >> QUANT_SHIFT) == bin_of[p]]
+        c2 = inbin["cnt"].cumsum().to_numpy()
+        idx = int(np.searchsorted(c2, ranks[p] - below[p]))
+        out.append((np.int64(p), np.int64(inbin["bucket"].iloc[idx])))
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(out, columns=["q_pct", "value_cents"])
+                          .astype(_QUANT_COLS))

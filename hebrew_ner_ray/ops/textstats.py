@@ -1462,3 +1462,162 @@ def doc_pareto_frontier(sf_dir: str):
 
     return small_key_aggregate(
         ds.map_batches(partial, batch_format="pandas"), final)
+
+
+KCORE_K = 16
+KCORE_MAX_ROUNDS = 64
+_KCORE_COLS = {"token": "object", "deg": "int64"}
+
+
+def text_kcore(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS):
+    """K-core of the token-adjacency graph (nodes = distinct lowercased
+    tokens, edges = distinct unordered adjacent-token pairs): iteratively
+    peel nodes of degree < k until a FIXED POINT, then emit every
+    surviving node with its core degree.
+
+    Peeling runs a driver loop of keyed exchanges — per round one degree
+    aggregation and one low-node count; edges incident to low nodes are
+    dropped by two side-marked anti-join exchanges (one per endpoint).
+    The loop iterates until NO node is below k (never a silent round
+    cap — the dedup_clusters lesson: a bounded-round graph algorithm
+    whose oracle unrolls the same bound just mirrors its own bug), and
+    raises past ``max_rounds`` as a safety bound. The SQL twin unrolls a
+    fixed number of peels, which is sound in THIS direction: peeling is
+    idempotent at the fixed point, so oracle rounds ≥ engine rounds give
+    identical answers (verified at test scale; the engine raising on
+    round overflow protects the other direction).
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    _E = {"a": "object", "b": "object"}
+    _D = {"node": "object", "d": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(r"\S+")
+        rows_a, rows_b = [], []
+        for tk in toks:
+            if len(tk) < 2:
+                continue
+            l = np.asarray(tk, dtype=object)
+            x, y = l[:-1], l[1:]
+            keep = x != y
+            rows_a.append(np.minimum(x[keep], y[keep]))
+            rows_b.append(np.maximum(x[keep], y[keep]))
+        if not rows_a:
+            return typed_empty(_E)
+        return (pd.DataFrame({"a": np.concatenate(rows_a),
+                              "b": np.concatenate(rows_b)})
+                .drop_duplicates().astype(_E))
+
+    def dedup(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_E)
+        return p.drop_duplicates().astype(_E)
+
+    edges = bucketed_aggregate(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["a", "b"], dedup, coalesce=partitions_for()).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ends = np.concatenate([b["a"].to_numpy(dtype=object),
+                               b["b"].to_numpy(dtype=object)])
+        node, cnt = np.unique(ends, return_counts=True)
+        return pd.DataFrame({"node": node.astype(object),
+                             "d": cnt.astype(np.int64)})
+
+    def deg_reduce(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_D)
+        return p.groupby("node", as_index=False).agg(d=("d", "sum")).astype(_D)
+
+    def degrees(e):
+        return bucketed_aggregate(
+            e.map_batches(deg_partial, batch_format="pandas"),
+            ["node"], deg_reduce, coalesce=partitions_for())
+
+    def drop_low(e, low, endpoint: str):
+        """Anti-join: keep edges whose ``endpoint`` is NOT in ``low``."""
+        _ROW = {"a": "object", "b": "object", "side": "int64"}
+
+        def e_rows(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"a": b["a"], "b": b["b"],
+                                 "side": np.zeros(len(b), dtype=np.int64)})
+
+        def low_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({
+                "a": b["node"] if endpoint == "a" else np.full(n, "", dtype=object),
+                "b": b["node"] if endpoint == "b" else np.full(n, "", dtype=object),
+                "side": np.ones(n, dtype=np.int64)}).astype(
+                    {"a": "object", "b": "object", "side": "int64"})
+
+        def anti(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_E)
+            bad = set(p.loc[p["side"] == 1, endpoint])
+            keep = p[(p["side"] == 0) & ~p[endpoint].isin(bad)]
+            return keep[["a", "b"]].astype(_E)
+
+        u = e.map_batches(e_rows, batch_format="pandas").union(
+            low.map_batches(low_rows, batch_format="pandas"))
+        return bucketed_aggregate(u, [endpoint], anti,
+                                  coalesce=partitions_for())
+
+    def below_k(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["d"] < k]
+
+    for _round in range(max_rounds):
+        deg = degrees(edges).materialize()
+        low = deg.map_batches(below_k, batch_format="pandas").materialize()
+        if low.count() == 0:
+            break
+        edges = drop_low(drop_low(edges, low, "a"), low, "b").materialize()
+        if edges.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"text_kcore did not converge in {max_rounds} peel rounds")
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.rename(columns={"node": "token", "d": "deg"})
+                [list(_KCORE_COLS)].astype(_KCORE_COLS))
+
+    return degrees(edges).map_batches(rename, batch_format="pandas")
+
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # percent buckets of the md5 space
+_SPLIT_COLS = {"doc_id": "int64", "bucket": "int64", "split": "object"}
+
+
+def corpus_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be REPRODUCIBLE and join-free: bucket =
+    stable_id('split|doc_id') mod 100, train < 80 ≤ val < 90 ≤ test.
+    Content-addressed like every engine id, so the same doc lands in the
+    same split on any cluster, any partitioning, any rerun — and the
+    assignment never needs to be stored or shuffled, only recomputed.
+    Pure stateless map; the SQL twin recomputes the identical md5."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        bucket = stable_ids([f"split|{i}" for i in ids]) % 100
+        split = np.where(bucket < SPLIT_TRAIN, "train",
+                         np.where(bucket < SPLIT_VAL, "val", "test"))
+        return pd.DataFrame({"doc_id": ids, "bucket": bucket.astype(np.int64),
+                             "split": split.astype(object)}).astype(_SPLIT_COLS)
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -847,3 +847,57 @@ def events_concurrency(sf_dir: str):
 
     return grouped_exchange(ds.map_batches(iv, batch_format="pandas"),
                             ["user_id"], sweep)
+
+
+_DUNIQ_COLS = {"event_type": "object", "day_us": "int64", "n_users": "int64"}
+
+
+def events_daily_unique(sf_dir: str):
+    """EXACT daily unique users per event type — the exact COUNT DISTINCT
+    complement to the KMV-sketched sliding window: per-batch distinct
+    (type, day, user) triples (the combiner collapses each user's repeat
+    events locally), one exchange keyed on the FULL triple so the global
+    distinct is a partition-local drop_duplicates, then per-partition
+    (type, day) count partials and a tiny final sum — correct because a
+    distinct triple lives in exactly one partition."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _T = {"event_type": "object", "day_us": "int64", "user_id": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "user_id"])
+
+    def triples(b: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(b["ts"]).to_numpy()
+        return (pd.DataFrame({
+            "event_type": b["event_type"].astype(object),
+            "day_us": (us // DAY_US) * DAY_US,
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+        }).drop_duplicates().astype(_T))
+
+    def count_part(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_DUNIQ_COLS)
+        d = p.drop_duplicates()
+        return (d.groupby(["event_type", "day_us"], as_index=False)
+                .agg(n_users=("user_id", "size")).astype(_DUNIQ_COLS))
+
+    partials = bucketed_aggregate(
+        ds.map_batches(triples, batch_format="pandas"),
+        ["event_type", "day_us", "user_id"], count_part,
+        coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_DUNIQ_COLS)
+        return (g.groupby(["event_type", "day_us"], as_index=False)
+                .agg(n_users=("n_users", "sum")).astype(_DUNIQ_COLS))
+
+    return small_key_aggregate(partials, final)

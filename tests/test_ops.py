@@ -1653,3 +1653,95 @@ def test_pareto_frontier_dominance(ray_session, tmp_path):
     assert out["n_tokens"].tolist() == [1, 3]
     assert out["n_docs"].tolist() == [1, 2]
     assert out["min_doc_id"].tolist() == [4, 3]
+
+
+def test_kcore_cascading_peel_rounds(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import text_kcore
+
+    # K4 clique {a,b,c,d} + pendant chain d-e-f-g: 2-core peeling must
+    # cascade (g → f → e, three rounds) before reaching the fixed point
+    edges = ["a b", "a c", "a d", "b c", "b d", "c d", "d e", "e f", "f g"]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(edges)), type=pa.int64()),
+        "text": edges,
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (text_kcore(str(tmp_path), k=2).to_pandas()
+           .sort_values("token").reset_index(drop=True))
+    assert out["token"].tolist() == ["a", "b", "c", "d"]
+    assert out["deg"].tolist() == [3, 3, 3, 3]
+
+
+def test_kcore_fully_peeled_graph_is_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import text_kcore
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["a b", "c d"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = text_kcore(str(tmp_path), k=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_price_quantiles_rank_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import price_quantiles_twopass
+
+    # values 1.00..10.00 → cents 100..1000; rank = ceil(p·N/100):
+    # p25→rank 3 (300), p50→rank 5 (500), p75→rank 8 (800), p99→rank 10
+    li = pa.table({
+        "l_extendedprice": pa.array([float(i) for i in range(1, 11)],
+                                    type=pa.float64()),
+    })
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = (price_quantiles_twopass(str(tmp_path)).to_pandas()
+           .sort_values("q_pct").reset_index(drop=True))
+    assert out["q_pct"].tolist() == [25, 50, 75, 99]
+    assert out["value_cents"].tolist() == [300, 500, 800, 1000]
+
+
+def test_daily_unique_dedups_repeat_events(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_daily_unique
+
+    base = pd.Timestamp("2024-01-01")
+    ts = [base, base + pd.Timedelta(hours=1), base + pd.Timedelta(days=1),
+          base, base]
+    tbl = pa.table({
+        "event_type": ["view", "view", "view", "view", "buy"],
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 1], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_daily_unique(str(tmp_path)).to_pandas()
+           .sort_values(["event_type", "day_us"]).reset_index(drop=True))
+    # view day0: users {1,2}=2 (user 1's repeat collapsed); view day1: {1};
+    # buy day0: {1}
+    assert out["event_type"].tolist() == ["buy", "view", "view"]
+    assert out["n_users"].tolist() == [1, 2, 1]
+
+
+def test_split_assign_deterministic_and_partitioned(ray_session):
+    from hebrew_ner_ray.ops.textstats import corpus_split_assign
+
+    SF = "/root/testdata/sf0.001"
+    a = (corpus_split_assign(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (corpus_split_assign(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["split"]) <= {"train", "val", "test"}
+    # md5 buckets ≈ uniform: train share within generous bounds
+    frac = (a["split"] == "train").mean()
+    assert 0.6 < frac < 0.95
