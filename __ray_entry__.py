@@ -70,6 +70,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return pagerank(build_edges(annotated(sf_dir, "triples"), sort=False))
 
+    def kg_components(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import components
+
+        return components(build_edges(annotated(sf_dir, "triples"),
+                                      sort=False))
+
     def _half(parity: int):
         """Deterministic corpus split on stable_id(doc_id) parity — the
         stand-in for 'yesterday's corpus' vs 'today's delta'."""
@@ -186,6 +192,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_triangles": kg_triangles,
         "kg_pagerank": kg_pagerank,
+        "kg_components": kg_components,
         "kg_nodes_incremental": kg_nodes_incremental,
         "kg_edges_incremental": kg_edges_incremental,
         "kg_span_invariant": kg_span_invariant,
@@ -218,6 +225,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_edges": o.sql_edges(),
         "kg_triangles": o.sql_triangles(),
         "kg_pagerank": o.sql_pagerank(),
+        "kg_components": o.sql_components(),
         # incremental half-builds must reproduce the one-shot oracles
         "kg_nodes_incremental": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),

@@ -393,3 +393,28 @@ r0 AS (SELECT deg.node, deg.d, CAST({scale} // nn.n AS BIGINT) AS r
 {body}
 SELECT node AS entity_id, r AS rank_pico FROM {prev} ORDER BY entity_id
 """
+
+
+def sql_components() -> str:
+    """Weakly connected components of the undirected entity graph —
+    recursive transitive closure, min reachable id per node (the exact
+    twin of kg/graphstats.components at any diameter)."""
+    return f"""WITH RECURSIVE eg AS MATERIALIZED (
+{sql_edges()}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+e AS MATERIALIZED (
+  SELECT a AS node, b AS peer FROM und UNION ALL SELECT b, a FROM und
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node AS lbl FROM e
+  UNION
+  SELECT e.peer AS node, r.lbl FROM e JOIN reach r ON e.node = r.node
+)
+SELECT CAST(node AS BIGINT) AS entity_id,
+       CAST(min(lbl) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""

@@ -335,3 +335,26 @@ def pagerank(edges_ds, iters: int = PR_ITERS) -> "object":
                                 "rank_pico": b["r"]}).astype(_PR_COLS),
         batch_format="pandas")
     return out.sort("entity_id")
+
+
+_COMP_COLS = {"entity_id": "int64", "component_id": "int64"}
+
+
+def components(edges_ds):
+    """Weakly connected components of the entity graph: the distinct
+    undirected edge set feeds :func:`ops.dedup.clusters_from_pairs` —
+    the engine's size-aware CC dispatch (exact driver union-find on
+    small pair sets, pointer-doubling iterated to the FIXED POINT when
+    distributed), so component ids are exact at any diameter.
+    component_id = min entity id of the component. Nodes with no edges
+    are singletons and excluded by construction on both sides."""
+    from hebrew_ner_ray.ops.dedup import clusters_from_pairs
+
+    cl = clusters_from_pairs(_distinct_undirected(edges_ds))
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.rename(columns={"doc_id": "entity_id",
+                                  "cluster_id": "component_id"})
+                [list(_COMP_COLS)].astype(_COMP_COLS))
+
+    return cl.map_batches(rename, batch_format="pandas")

@@ -109,6 +109,7 @@ def ops_queries():
         "order_count_distribution": _wrap(relational.order_count_distribution),
         "promo_revenue": _wrap(relational.promo_revenue),
         "price_quantiles": _wrap(relational.price_quantiles_twopass),
+        "volume_shipping": _wrap(relational.volume_shipping),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -132,6 +133,7 @@ def ops_queries():
         "doc_pareto_frontier": _wrap(textstats.doc_pareto_frontier),
         "text_kcore": _wrap(textstats.text_kcore),
         "corpus_split_assign": _wrap(textstats.corpus_split_assign),
+        "doc_len_mad_by_lang": _wrap(textstats.doc_len_mad_by_lang),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -1028,6 +1030,53 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
 SELECT CAST(p.q AS BIGINT) AS q_pct, r.v AS value_cents
 FROM (VALUES {", ".join(f"({p})" for p in relational.QUANT_PCTS)}) p(q)
 JOIN r ON r.rn = (r.n * p.q + 99) // 100
+""",
+        # Q7 shape: nation-pair revenue by ship year, both directions
+        "volume_shipping": f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE s_nationkey <> c_nationkey
+  AND strftime(l_shipdate, '%Y-%m-%d') >= '{relational.Q7_LO}'
+  AND strftime(l_shipdate, '%Y-%m-%d') < '{relational.Q7_HI}'
+GROUP BY 1, 2, 3
+""",
+        # grouped median + MAD, rank pinned at (N+1)//2 (1-based)
+        "doc_len_mad_by_lang": """
+WITH agg AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+m AS (
+  SELECT lang, min(v) AS med FROM (
+    SELECT lang, v,
+           sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY lang) AS n
+    FROM agg) WHERE cum >= (n + 1) // 2 GROUP BY lang
+),
+dev AS (
+  SELECT a.lang, abs(a.v - m.med) AS dv, sum(a.c) AS c
+  FROM agg a JOIN m USING (lang) GROUP BY 1, 2
+),
+mad AS (
+  SELECT lang, min(dv) AS mad FROM (
+    SELECT lang, dv,
+           sum(c) OVER (PARTITION BY lang ORDER BY dv) AS cum,
+           sum(c) OVER (PARTITION BY lang) AS n
+    FROM dev) WHERE cum >= (n + 1) // 2 GROUP BY lang
+),
+nn AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM agg GROUP BY 1)
+SELECT nn.lang, nn.n_docs, CAST(m.med AS BIGINT) AS median_chars,
+       CAST(mad.mad AS BIGINT) AS mad_chars
+FROM nn JOIN m USING (lang) JOIN mad USING (lang)
 """,
         # set algebra on user sets: INTERSECT / EXCEPT both directions
         "events_user_setops": """

@@ -1522,3 +1522,132 @@ def price_quantiles_twopass(sf_dir: str, pcts=QUANT_PCTS):
 
     return rd.from_pandas(pd.DataFrame(out, columns=["q_pct", "value_cents"])
                           .astype(_QUANT_COLS))
+
+
+Q7_LO = "1996-01-01"
+Q7_HI = "1998-01-01"
+_Q7_COLS = {"supp_nation": "object", "cust_nation": "object",
+            "l_year": "int64", "revenue_cents": "int64", "n_lineitems": "int64"}
+
+
+def volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: revenue flowing BETWEEN nation pairs by ship year
+    — the two-dimension-attach join (supplier nation on the lineitem,
+    customer nation through orders) with a cross-pair filter.
+
+    Plan: supplier and customer key→nation maps broadcast once
+    (dimension tables — the revenue_by_nation size-aware contract
+    applies at real scale); the big×big lineitem⋈orders hop is the
+    ONE keyed exchange on orderkey, fed by lineitem combiners already
+    pre-aggregated to (orderkey, supp_nation, year) partials. The
+    (nation × nation × year) rollup is tiny and finishes in one task.
+    Only ordered pairs with supp ≠ cust survive (both directions kept,
+    as in Q7)."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    si = np.argsort(sk)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    ci = np.argsort(ck)
+    dim_ref = ray.put((sk[si], supp.column("s_nationkey").to_numpy()[si],
+                       ck[ci], cust.column("c_nationkey").to_numpy()[ci]))
+
+    _ROW = {"orderkey": "int64", "nat": "int64", "l_year": "int64",
+            "cents": "int64", "n": "int64", "side": "int64"}
+    _PART = {"supp_nat": "int64", "cust_nat": "int64", "l_year": "int64",
+             "cents": "int64", "n": "int64"}
+
+    class LineSide:
+        def __init__(self):
+            self.sk, self.snat, _, _ = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+            b = b[(d >= Q7_LO) & (d < Q7_HI)]
+            if b.empty:
+                return typed_empty(_ROW)
+            cents = np.floor(b["l_extendedprice"].to_numpy()
+                             * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+            nat = self.snat[np.searchsorted(self.sk, b["l_suppkey"].to_numpy())]
+            g = (pd.DataFrame({
+                "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "nat": nat.astype(np.int64),
+                "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+                "cents": cents})
+                .groupby(["orderkey", "nat", "l_year"], as_index=False)
+                .agg(cents=("cents", "sum"), n=("cents", "size")))
+            g["side"] = np.int64(1)
+            return g[list(_ROW)].astype(_ROW)
+
+    class OrderSide:
+        def __init__(self):
+            _, _, self.ck, self.cnat = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            nat = self.cnat[np.searchsorted(self.ck, b["o_custkey"].to_numpy())]
+            n = len(b)
+            return pd.DataFrame({
+                "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                "nat": nat.astype(np.int64),
+                "l_year": np.zeros(n, dtype=np.int64),
+                "cents": np.zeros(n, dtype=np.int64),
+                "n": np.zeros(n, dtype=np.int64),
+                "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]
+    ).map_batches(LineSide, batch_format="pandas",
+                  concurrency=default_concurrency())
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrderSide, batch_format="pandas",
+                  concurrency=default_concurrency())
+
+    def join_part(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PART)
+        li = p[p["side"] == 1]
+        od = (p[p["side"] == 0][["orderkey", "nat"]]
+              .rename(columns={"nat": "cust_nat"}))
+        m = li.merge(od, on="orderkey")
+        m = m[m["nat"] != m["cust_nat"]]
+        if m.empty:
+            return typed_empty(_PART)
+        return (m.rename(columns={"nat": "supp_nat"})
+                .groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)
+                .agg(cents=("cents", "sum"), n=("n", "sum"))
+                [list(_PART)].astype(_PART))
+
+    partials = bucketed_aggregate(orders.union(lines), ["orderkey"],
+                                  join_part, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q7_COLS)
+        out = (g.groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)
+               .agg(cents=("cents", "sum"), n=("n", "sum")))
+        out["supp_nation"] = out["supp_nat"].map(names)
+        out["cust_nation"] = out["cust_nat"].map(names)
+        out = out.rename(columns={"cents": "revenue_cents",
+                                  "n": "n_lineitems"})
+        return out[list(_Q7_COLS)].astype(_Q7_COLS)
+
+    return small_key_aggregate(partials, final)

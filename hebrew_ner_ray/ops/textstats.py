@@ -1621,3 +1621,68 @@ def corpus_split_assign(sf_dir: str):
                              "split": split.astype(object)}).astype(_SPLIT_COLS)
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+_MAD_COLS = {"lang": "object", "n_docs": "int64", "median_chars": "int64",
+             "mad_chars": "int64"}
+
+
+def doc_len_mad_by_lang(sf_dir: str):
+    """Grouped robust statistics: per-language median and median absolute
+    deviation of document length — the outlier-resistant quality-filter
+    pair (median ± c·MAD clipping).
+
+    One streaming pass: the (lang, n_chars) → count histogram partials
+    (the token_quantiles trick — the VALUE domain stays tiny at any
+    corpus size) merge in one keyed exchange; the finalize derives BOTH
+    statistics from the histogram alone — median at rank ceil(N/2), then
+    the |v − median| deviation histogram is a re-weighting of the same
+    rows, so MAD needs NO second pass over the corpus. Rank semantics
+    pinned as (N+1)//2 (1-based) identically in the SQL window twin.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import sized_aggregate, small_key_aggregate, typed_empty
+
+    _HIST = {"lang": "object", "v": "int64", "cnt": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"lang": b["lang"].astype(object),
+                           "v": b["n_chars"].to_numpy(dtype=np.int64)})
+             .groupby(["lang", "v"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        return g.astype(_HIST)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_HIST)
+        return (g.groupby(["lang", "v"], as_index=False)["cnt"].sum()
+                .astype(_HIST))
+
+    hist = sized_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                           ["lang", "v"], merge)
+
+    def _rank_value(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """Smallest value whose cumulative count reaches ceil(N/2)."""
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        r = (cum[-1] + 1) // 2
+        return int(vals[np.searchsorted(cum, r)])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_MAD_COLS)
+        rows = []
+        for lang, grp in g.groupby("lang", sort=True):
+            v = grp["v"].to_numpy(dtype=np.int64)
+            c = grp["cnt"].to_numpy(dtype=np.int64)
+            med = _rank_value(v, c)
+            mad = _rank_value(np.abs(v - med), c)
+            rows.append((lang, int(c.sum()), med, mad))
+        return pd.DataFrame(rows, columns=list(_MAD_COLS)).astype(_MAD_COLS)
+
+    return small_key_aggregate(hist, final)

@@ -1745,3 +1745,53 @@ def test_split_assign_deterministic_and_partitioned(ray_session):
     # md5 buckets ≈ uniform: train share within generous bounds
     frac = (a["split"] == "train").mean()
     assert 0.6 < frac < 0.95
+
+
+def test_kg_components_two_islands(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import components
+
+    edges = pd.DataFrame({
+        "subj_id": pd.array([1, 2, 10, 5], dtype="int64"),
+        "pred": ["a", "b", "c", "d"],
+        "obj_id": pd.array([2, 3, 11, 5], dtype="int64"),
+        "weight": pd.array([1, 1, 1, 1], dtype="int64"),
+    })
+    out = (components(ray.data.from_pandas(edges)).to_pandas()
+           .sort_values("entity_id").reset_index(drop=True))
+    # {1,2,3} → component 1; {10,11} → component 10; self-loop 5 dropped
+    assert out["entity_id"].tolist() == [1, 2, 3, 10, 11]
+    assert out["component_id"].tolist() == [1, 1, 1, 10, 10]
+
+
+def test_mad_by_lang_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import doc_len_mad_by_lang
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "lang": ["he", "he", "he", "he", "he", "en"],
+        "n_chars": pa.array([10, 20, 30, 40, 1000, 7], type=pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (doc_len_mad_by_lang(str(tmp_path)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    # he: N=5, rank ceil(5/2)=3 → median 30; deviations {20,10,0,10,970}
+    # sorted {0,10,10,20,970} → rank-3 value 10; the 1000 outlier moves
+    # neither statistic (the point of MAD)
+    he = out[out["lang"] == "he"].iloc[0]
+    assert (he["median_chars"], he["mad_chars"], he["n_docs"]) == (30, 10, 5)
+    en = out[out["lang"] == "en"].iloc[0]
+    assert (en["median_chars"], en["mad_chars"], en["n_docs"]) == (7, 0, 1)
+
+
+def test_volume_shipping_excludes_domestic(ray_session):
+    from hebrew_ner_ray.ops.relational import volume_shipping
+
+    out = volume_shipping("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["supp_nation"] != out["cust_nation"]).all()
+    assert set(out["l_year"]) <= {1996, 1997}
