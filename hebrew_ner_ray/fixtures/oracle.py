@@ -418,3 +418,30 @@ SELECT CAST(node AS BIGINT) AS entity_id,
        CAST(min(lbl) AS BIGINT) AS component_id
 FROM reach GROUP BY node
 """
+
+
+def sql_bfs_depths() -> str:
+    """Single-source BFS depths (source = min entity id): recursive walk
+    with per-(node, depth) dedup and a node-count depth bound, min depth
+    per reached node — the exact twin of kg/graphstats.bfs_depths."""
+    return f"""WITH RECURSIVE eg AS MATERIALIZED (
+{sql_edges()}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+nn AS (SELECT count(DISTINCT u) AS n FROM sym),
+walk(node, d) AS (
+  SELECT (SELECT min(a) FROM und) AS node, 0 AS d
+  UNION
+  SELECT s.v AS node, w.d + 1 AS d
+  FROM walk w JOIN sym s ON s.u = w.node CROSS JOIN nn
+  WHERE w.d < nn.n
+)
+SELECT CAST(node AS BIGINT) AS entity_id, CAST(min(d) AS BIGINT) AS depth
+FROM walk GROUP BY 1
+"""

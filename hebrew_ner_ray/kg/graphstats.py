@@ -358,3 +358,108 @@ def components(edges_ds):
                 [list(_COMP_COLS)].astype(_COMP_COLS))
 
     return cl.map_batches(rename, batch_format="pandas")
+
+
+BFS_MAX_ROUNDS = 64
+_BFS_COLS = {"entity_id": "int64", "depth": "int64"}
+
+
+def bfs_depths(edges_ds, max_rounds: int = BFS_MAX_ROUNDS):
+    """Single-source BFS depths over the undirected entity graph from the
+    globally-minimum entity id (deterministic source, no config) — the
+    synchronous frontier-expansion shape: per round ONE exchange joins
+    the current frontier with the symmetric edge list, the candidate set
+    anti-joins the known set, and the loop runs to the FIXED POINT
+    (empty frontier), raising past ``max_rounds`` (the diameter bound) —
+    never a silent cap. Nodes outside the source's component are absent,
+    matching the SQL twin's reachability semantics."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    und = _distinct_undirected(edges_ds).materialize()
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas").materialize()
+    src = und.min("a")
+    if src is None:
+        return und.map_batches(
+            lambda b: pd.DataFrame({c: pd.Series(dtype=t)
+                                    for c, t in _BFS_COLS.items()}),
+            batch_format="pandas")
+
+    known = ray.data.from_pandas(pd.DataFrame(
+        {"entity_id": pd.array([src], dtype="int64"),
+         "depth": pd.array([0], dtype="int64")})).materialize()
+    frontier = known
+
+    _ROW = {"k": "int64", "v": "int64", "side": "int64"}
+    _CAND = {"entity_id": "int64"}
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["u"], "v": b["v"],
+                             "side": np.ones(len(b), dtype=np.int64)}).astype(_ROW)
+
+    def expand_neighbors(fr):
+        def fr_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({"k": b["entity_id"].to_numpy(dtype=np.int64),
+                                 "v": np.zeros(n, dtype=np.int64),
+                                 "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+        def nbrs(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_CAND)
+            on_frontier = set(p.loc[p["side"] == 0, "k"])
+            e = p[p["side"] == 1]
+            out = e.loc[e["k"].isin(on_frontier), "v"].drop_duplicates()
+            return pd.DataFrame({"entity_id": out.to_numpy(dtype=np.int64)})
+
+        u = sym.map_batches(edge_rows, batch_format="pandas").union(
+            fr.map_batches(fr_rows, batch_format="pandas"))
+        return bucketed_aggregate(u, ["k"], nbrs, coalesce=partitions_for())
+
+    def anti_known(cand, kn):
+        _A = {"entity_id": "int64", "depth": "int64", "side": "int64"}
+
+        def c_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({"entity_id": b["entity_id"],
+                                 "depth": np.zeros(n, dtype=np.int64),
+                                 "side": np.zeros(n, dtype=np.int64)}).astype(_A)
+
+        def k_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({"entity_id": b["entity_id"], "depth": b["depth"],
+                                 "side": np.ones(n, dtype=np.int64)}).astype(_A)
+
+        def anti(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_CAND)
+            seen = set(p.loc[p["side"] == 1, "entity_id"])
+            fresh = p[(p["side"] == 0) & ~p["entity_id"].isin(seen)]
+            return (fresh[["entity_id"]].drop_duplicates()
+                    .astype(_CAND))
+
+        u = cand.map_batches(c_rows, batch_format="pandas").union(
+            kn.map_batches(k_rows, batch_format="pandas"))
+        return bucketed_aggregate(u, ["entity_id"], anti,
+                                  coalesce=partitions_for())
+
+    for depth in range(1, max_rounds + 1):
+        fresh = anti_known(expand_neighbors(frontier), known).materialize()
+        if fresh.count() == 0:
+            break
+        frontier = fresh.map_batches(
+            lambda b, d=depth: b.assign(depth=np.full(len(b), d, dtype=np.int64)),
+            batch_format="pandas").materialize()
+        known = known.union(frontier).materialize()
+    else:
+        raise RuntimeError(f"bfs_depths did not converge in {max_rounds} rounds")
+
+    return known

@@ -102,6 +102,8 @@ def ops_queries():
         "events_cohort_retention": _wrap(windows.events_cohort_retention),
         "events_concurrency": _wrap(windows.events_concurrency),
         "events_daily_unique": _wrap(windows.events_daily_unique),
+        "events_share_of_user": _wrap(windows.events_share_of_user),
+        "events_value_histogram": _wrap(windows.events_value_histogram),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
@@ -1008,6 +1010,37 @@ cov AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(c) AS BIGINT) AS max_concurrency
 FROM cov GROUP BY 1
+""",
+        # ratio-to-parent: ppm of the user's total per event type
+        "events_share_of_user": """
+WITH g AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS value_micro
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(value_micro) AS tot FROM g GROUP BY 1)
+SELECT CAST(g.user_id AS BIGINT) AS user_id, g.event_type, g.value_micro,
+       CAST(floor(g.value_micro * 1000000.0 / t.tot) AS BIGINT) AS share_ppm
+FROM g JOIN t USING (user_id)
+""",
+        # equi-width histogram; integer ceil width, (v - lo) // width bins,
+        # empty bins zero-filled by the range() scaffold
+        "events_value_histogram": f"""
+WITH v AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+w AS (SELECT lo, hi,
+             (hi - lo + 1 + {windows.HIST_BINS} - 1) // {windows.HIST_BINS}
+               AS width
+      FROM mm),
+c AS (SELECT (v.v - w.lo) // w.width AS bin, count(*) AS n
+      FROM v CROSS JOIN w GROUP BY 1),
+b AS (SELECT unnest(range({windows.HIST_BINS})) AS bin)
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       CAST(w.lo + b.bin * w.width AS BIGINT) AS lo_micro,
+       CAST(w.lo + (b.bin + 1) * w.width AS BIGINT) AS hi_micro,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM b CROSS JOIN w LEFT JOIN c USING (bin)
 """,
         # exact COUNT DISTINCT per (type, day)
         "events_daily_unique": f"""

@@ -901,3 +901,114 @@ def events_daily_unique(sf_dir: str):
                 .agg(n_users=("n_users", "sum")).astype(_DUNIQ_COLS))
 
     return small_key_aggregate(partials, final)
+
+
+_SHARE_COLS = {"user_id": "int64", "event_type": "object",
+               "value_micro": "int64", "share_ppm": "int64"}
+
+
+def events_share_of_user(sf_dir: str):
+    """Ratio-to-parent: each (user, type) value sum as a ppm share of the
+    user's total — the SUM OVER (PARTITION BY parent) reporting shape
+    without a window engine: (user, type) partials combine per batch, ONE
+    exchange keyed on user co-locates each user's complete type rows, and
+    the partition computes totals + shares locally. The ppm is the same
+    float64 multiply-divide-floor on both sides (values are positive by
+    the events contract, totals never zero for an emitted user)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _P = {"user_id": "int64", "event_type": "object", "value_micro": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"user_id": b["user_id"].to_numpy(dtype=np.int64),
+                              "event_type": b["event_type"].astype(object),
+                              "value_micro": _micro(b["value"])})
+                .groupby(["user_id", "event_type"], as_index=False)
+                .agg(value_micro=("value_micro", "sum")).astype(_P))
+
+    def shares(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_SHARE_COLS)
+        g = (p.groupby(["user_id", "event_type"], as_index=False)
+             .agg(value_micro=("value_micro", "sum")))
+        tot = g.groupby("user_id")["value_micro"].transform("sum").to_numpy()
+        v = g["value_micro"].to_numpy(dtype=np.int64)
+        g["share_ppm"] = np.floor(v * 1_000_000.0 / tot).astype(np.int64)
+        return g[list(_SHARE_COLS)].astype(_SHARE_COLS)
+
+    return bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                              ["user_id"], shares,
+                              coalesce=partitions_for())
+
+
+HIST_BINS = 20
+_VHIST_COLS = {"bin": "int64", "lo_micro": "int64", "hi_micro": "int64",
+               "n_events": "int64"}
+
+
+def events_value_histogram(sf_dir: str, bins: int = HIST_BINS):
+    """Equi-width histogram of event values — the two-pass
+    global-extremes pattern: pass 1 is a tree min/max (two scalars reach
+    the driver), pass 2 bins every event against the broadcast edges.
+    Integer micro-unit bin math pinned both sides: width = ceil(range+1 /
+    bins), bin = (v − lo) // width — so the top value lands in the last
+    bin without a float boundary lottery. Empty bins are emitted
+    (zero-filled) so the output is always exactly ``bins`` rows."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    def read():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["value"])
+
+    _MM = {"lo": "int64", "hi": "int64"}
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        v = _micro(b["value"])
+        if len(v) == 0:
+            return typed_empty(_MM)
+        return pd.DataFrame({"lo": [np.int64(v.min())],
+                             "hi": [np.int64(v.max())]})
+
+    def mm_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_MM)
+        return pd.DataFrame({"lo": [np.int64(g["lo"].min())],
+                             "hi": [np.int64(g["hi"].max())]})
+
+    mm = small_key_aggregate(read().map_batches(minmax, batch_format="pandas"),
+                             mm_merge).to_pandas()
+    if mm.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _VHIST_COLS.items()}))
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    width = -(-(hi - lo + 1) // bins)  # ceil → max value maps to bin bins-1
+
+    _H = {"bin": "int64", "n_events": "int64"}
+
+    def count_bins(b: pd.DataFrame) -> pd.DataFrame:
+        v = _micro(b["value"])
+        bn, cnt = np.unique((v - lo) // width, return_counts=True)
+        return pd.DataFrame({"bin": bn.astype(np.int64),
+                             "n_events": cnt.astype(np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(bins, dtype=np.int64)
+        if not g.empty:
+            s = g.groupby("bin")["n_events"].sum()
+            counts[s.index.to_numpy(dtype=np.int64)] = s.to_numpy(dtype=np.int64)
+        bn = np.arange(bins, dtype=np.int64)
+        return pd.DataFrame({"bin": bn, "lo_micro": lo + bn * width,
+                             "hi_micro": lo + (bn + 1) * width,
+                             "n_events": counts}).astype(_VHIST_COLS)
+
+    return small_key_aggregate(
+        read().map_batches(count_bins, batch_format="pandas"), final)

@@ -1795,3 +1795,45 @@ def test_volume_shipping_excludes_domestic(ray_session):
     assert len(out) > 0
     assert (out["supp_nation"] != out["cust_nation"]).all()
     assert set(out["l_year"]) <= {1996, 1997}
+
+
+def test_bfs_depths_multi_hop_chain(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import bfs_depths
+
+    # path 1-2-3-4-5 plus separate island {10,11}: source = min id = 1,
+    # depths 0..4; the island is unreachable and absent
+    edges = pd.DataFrame({
+        "subj_id": pd.array([1, 2, 3, 4, 10], dtype="int64"),
+        "pred": ["e"] * 5,
+        "obj_id": pd.array([2, 3, 4, 5, 11], dtype="int64"),
+        "weight": pd.array([1] * 5, dtype="int64"),
+    })
+    out = (bfs_depths(ray.data.from_pandas(edges)).to_pandas()
+           .sort_values("entity_id").reset_index(drop=True))
+    assert out["entity_id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["depth"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_share_of_user_sums_to_million(ray_session):
+    from hebrew_ner_ray.ops.windows import events_share_of_user
+
+    out = events_share_of_user("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # floor rounding loses < n_types ppm per user
+    s = out.groupby("user_id")["share_ppm"].sum()
+    assert ((s > 1_000_000 - 10) & (s <= 1_000_000)).all()
+
+
+def test_value_histogram_covers_all_events(ray_session):
+    from hebrew_ner_ray.ops.windows import events_value_histogram
+
+    out = (events_value_histogram("/root/testdata/sf0.001").to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    assert len(out) == 20
+    assert out["n_events"].sum() == 1000  # sf0.001 events rows
+    # contiguous equal-width edges
+    assert (out["hi_micro"] - out["lo_micro"]).nunique() == 1
+    assert (out["lo_micro"].iloc[1:].to_numpy()
+            == out["hi_micro"].iloc[:-1].to_numpy()).all()
