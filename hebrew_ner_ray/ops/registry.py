@@ -104,6 +104,8 @@ def ops_queries():
         "events_daily_unique": _wrap(windows.events_daily_unique),
         "events_share_of_user": _wrap(windows.events_share_of_user),
         "events_value_histogram": _wrap(windows.events_value_histogram),
+        "events_global_concurrency": _wrap(windows.events_global_concurrency),
+        "doc_embedding_features": _wrap(similarity.doc_embedding_features),
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
@@ -1010,6 +1012,39 @@ cov AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(c) AS BIGINT) AS max_concurrency
 FROM cov GROUP BY 1
+""",
+        # global peak concurrency: the engine's distributed prefix sweep
+        # stated as the quadratic cover-count self-join
+        "events_global_concurrency": """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+nz AS (SELECT * FROM iv WHERE e > s),
+cov AS (
+  SELECT a.s, count(*) AS c
+  FROM nz a JOIN nz b ON b.s <= a.s AND a.s < b.e
+  GROUP BY a.s
+)
+SELECT CAST(c AS BIGINT) AS max_concurrency, CAST(min(s) AS BIGINT) AS at_us
+FROM cov WHERE c = (SELECT max(c) FROM cov) GROUP BY c
+""",
+        # 1:1 feature-assembly join; squared norms in milli-units² (the
+        # gram contract) recomputed from the raw list column
+        "doc_embedding_features": """
+WITH n AS (
+  SELECT vec_id, label,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+              AS BIGINT) AS sq_norm_milli2
+  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+  GROUP BY 1, 2
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(n.label AS BIGINT) AS label, n.sq_norm_milli2
+FROM documents d JOIN n ON d.doc_id = n.vec_id
 """,
         # ratio-to-parent: ppm of the user's total per event type
         "events_share_of_user": """

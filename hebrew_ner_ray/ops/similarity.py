@@ -614,3 +614,65 @@ def embedding_gram(sf_dir: str):
 
     return small_key_aggregate(
         ds.map_batches(partial, batch_format="pandas"), final)
+
+
+_FEAT_COLS = {"doc_id": "int64", "lang": "object", "n_chars": "int64",
+              "label": "int64", "sq_norm_milli2": "int64"}
+
+
+def doc_embedding_features(sf_dir: str):
+    """Training-feature assembly: join the documents table with its
+    embedding row (doc_id = vec_id, the 1:1 contract) — both sides
+    corpus-sized, so the join is ONE keyed exchange on the id (no
+    broadcast anywhere). The embedding is reduced batch-locally to its
+    squared norm in milli-units² (Σ floor(x·1000)², the gram contract)
+    BEFORE the exchange, so only a scalar per vector ships, never the
+    vector itself."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _ROW = {"doc_id": "int64", "lang": "object", "n_chars": "int64",
+            "label": "int64", "sq_norm_milli2": "int64", "side": "int64"}
+
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+            "lang": b["lang"].astype(object),
+            "n_chars": b["n_chars"].to_numpy(dtype=np.int64),
+            "label": np.zeros(n, dtype=np.int64),
+            "sq_norm_milli2": np.zeros(n, dtype=np.int64),
+            "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+    def emb_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        xm = np.floor(np.stack(b["embedding"].to_list()).astype(np.float64)
+                      * 1000).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["vec_id"].to_numpy(dtype=np.int64),
+            "lang": np.full(n, "", dtype=object),
+            "n_chars": np.zeros(n, dtype=np.int64),
+            "label": b["label"].to_numpy(dtype=np.int64),
+            "sq_norm_milli2": (xm * xm).sum(axis=1),
+            "side": np.ones(n, dtype=np.int64)}).astype(_ROW)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"]
+                                 ).map_batches(doc_rows, batch_format="pandas")
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label", "embedding"]
+                                 ).map_batches(emb_rows, batch_format="pandas")
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_FEAT_COLS)
+        d = p[p["side"] == 0][["doc_id", "lang", "n_chars"]]
+        e = p[p["side"] == 1][["doc_id", "label", "sq_norm_milli2"]]
+        m = d.merge(e, on="doc_id")
+        if m.empty:
+            return typed_empty(_FEAT_COLS)
+        return m[list(_FEAT_COLS)].astype(_FEAT_COLS)
+
+    return bucketed_aggregate(docs.union(embs), ["doc_id"], join,
+                              coalesce=partitions_for())

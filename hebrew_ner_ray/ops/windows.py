@@ -1012,3 +1012,125 @@ def events_value_histogram(sf_dir: str, bins: int = HIST_BINS):
 
     return small_key_aggregate(
         read().map_batches(count_bins, batch_format="pandas"), final)
+
+
+_GCONC_COLS = {"max_concurrency": "int64", "at_us": "int64"}
+
+
+def events_global_concurrency(sf_dir: str):
+    """GLOBAL max concurrent intervals across all users (capacity
+    planning: peak simultaneous activity) — the distributed ordered
+    sweep: a corpus-wide prefix sum over the merged ±1 boundary stream,
+    done WITHOUT a global sort.
+
+    1. every event emits (start, +1) and (end, −1) boundary points
+       (half-open [s,e), empty intervals dropped);
+    2. range-partition on time (monotone bucket function — partition
+       order IS time order, the doc_pack_offsets pattern);
+    3. per-partition net-delta totals → the driver prefix-sums P scalars
+       (P = cluster partitions) into carries;
+    4. each partition sorts ITS OWN points, adds its carry, and reports
+       (local max open count at any start, earliest attaining time);
+    5. one task picks the global max, earliest time on ties.
+
+    Concurrency at a start s = Σ deltas with t ≤ s, evaluated at the end
+    of each distinct-t run so simultaneous boundaries resolve together.
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _PT = {"t": "int64", "delta": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def points(b: pd.DataFrame) -> pd.DataFrame:
+        s = _epoch_us(b["ts"]).to_numpy()
+        e = s + _micro(b["value"])
+        keep = e > s
+        s, e = s[keep], e[keep]
+        return pd.DataFrame({
+            "t": np.concatenate([s, e]),
+            "delta": np.concatenate([np.ones(len(s), dtype=np.int64),
+                                     -np.ones(len(e), dtype=np.int64)]),
+        })
+
+    pts = ds.map_batches(points, batch_format="pandas").materialize()
+    if pts.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _GCONC_COLS.items()}))
+    lo, hi = int(pts.min("t")), int(pts.max("t"))
+    n_parts = partitions_for()
+    span = max(1, (hi - lo + 1 + n_parts - 1) // n_parts)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["t"].to_numpy(dtype=np.int64) - lo) // span
+        return b
+
+    parted = pts.map_batches(add_part, batch_format="pandas").materialize()
+
+    _T = {"part": "int64", "net": "int64"}
+
+    def net_totals(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_T)
+        return (p.groupby("part", as_index=False).agg(net=("delta", "sum"))
+                .astype(_T))
+
+    tot = (bucketed_aggregate(parted, ["part"], net_totals, coalesce=n_parts)
+           .to_pandas().sort_values("part").reset_index(drop=True))
+    carry_map = dict(zip(
+        tot["part"].to_numpy(dtype=np.int64),
+        np.concatenate([[0], np.cumsum(tot["net"].to_numpy())[:-1]]).astype(np.int64)))
+
+    _CAND = {"max_concurrency": "int64", "at_us": "int64"}
+
+    def _sweep_one(g: pd.DataFrame):
+        carry = int(carry_map.get(int(g["part"].iloc[0]), 0))
+        g = g.sort_values("t", kind="mergesort")
+        t = g["t"].to_numpy(dtype=np.int64)
+        delta = g["delta"].to_numpy(dtype=np.int64)
+        cum = carry + np.cumsum(delta)
+        # evaluate at the END of each distinct-t run; keep runs with ≥1 start
+        first = np.ones(len(t), dtype=bool)
+        first[1:] = t[1:] != t[:-1]
+        last = np.ones(len(t), dtype=bool)
+        last[:-1] = t[1:] != t[:-1]
+        run_has_start = np.add.reduceat(delta > 0, np.flatnonzero(first)) > 0
+        ct, cc = t[last][run_has_start], cum[last][run_has_start]
+        if len(ct) == 0:
+            return None
+        m = cc.max()
+        return (np.int64(m), np.int64(ct[cc == m].min()))
+
+    def sweep(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CAND)
+        # a hash partition holds one or more COMPLETE part groups
+        rows = [r for _, g in p.groupby("part", sort=False)
+                if (r := _sweep_one(g)) is not None]
+        if not rows:
+            return typed_empty(_CAND)
+        return pd.DataFrame(rows, columns=["max_concurrency", "at_us"]
+                            ).astype(_CAND)
+
+    cands = bucketed_aggregate(parted, ["part"], sweep, coalesce=n_parts)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_GCONC_COLS)
+        m = g["max_concurrency"].max()
+        at = g.loc[g["max_concurrency"] == m, "at_us"].min()
+        return pd.DataFrame({"max_concurrency": [np.int64(m)],
+                             "at_us": [np.int64(at)]}).astype(_GCONC_COLS)
+
+    return small_key_aggregate(cands, final)

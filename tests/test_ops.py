@@ -1837,3 +1837,37 @@ def test_value_histogram_covers_all_events(ray_session):
     assert (out["hi_micro"] - out["lo_micro"]).nunique() == 1
     assert (out["lo_micro"].iloc[1:].to_numpy()
             == out["hi_micro"].iloc[:-1].to_numpy()).all()
+
+
+def test_global_concurrency_cross_user_and_carry(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_global_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    # three users' intervals: [0,100s) [50s,150s) [60s,70s) → peak 3 at
+    # t=60s; a far-away later point forces multiple range partitions so
+    # the carry path is exercised
+    ts = [base, base + pd.Timedelta(seconds=50), base + pd.Timedelta(seconds=60),
+          base + pd.Timedelta(days=30)]
+    tbl = pa.table({
+        "user_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array([100.0, 100.0, 10.0, 1.0], type=pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_global_concurrency(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["max_concurrency"].iloc[0] == 3
+    assert out["at_us"].iloc[0] == int(
+        (base + pd.Timedelta(seconds=60)).value // 1000)
+
+
+def test_doc_embedding_features_one_row_per_doc(ray_session):
+    from hebrew_ner_ray.ops.similarity import doc_embedding_features
+
+    out = doc_embedding_features("/root/testdata/sf0.001").to_pandas()
+    assert out["doc_id"].is_unique
+    assert len(out) == 500
+    assert (out["sq_norm_milli2"] >= 0).all()
