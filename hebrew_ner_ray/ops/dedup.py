@@ -460,3 +460,54 @@ def dedup_simhash(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pandas")
+
+
+_INCR_COLS = {"doc_id": "int64", "text_hash": "object"}
+
+
+def dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: which DELTA documents are genuinely new
+    against the existing BASE corpus — the daily-ingest shape (dedupe the
+    new crawl against yesterday's index without re-scanning it into the
+    driver). Base/delta stand-in: the deterministic stable_id(doc_id)
+    parity split (the kg_*_incremental convention). One exchange keyed on
+    the content hash; each complete-hash partition anti-joins delta
+    against base AND dedups within the delta itself (min doc_id per new
+    hash) — both halves of a real ingest dedup."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _ROW = {"doc_id": "int64", "text_hash": "object", "side": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        h = exact_hash_batch(b)
+        parity = stable_ids([str(i) for i in h["doc_id"]]) % 2
+        h["side"] = parity.astype(np.int64)  # 0 = base, 1 = delta
+        # combiner: base side needs only distinct hashes; delta side only
+        # its min doc_id per hash
+        base = (h[h["side"] == 0][["text_hash"]].drop_duplicates()
+                .assign(doc_id=np.int64(0), side=np.int64(0)))
+        delta = (h[h["side"] == 1]
+                 .groupby("text_hash", as_index=False)
+                 .agg(doc_id=("doc_id", "min")).assign(side=np.int64(1)))
+        return pd.concat([base, delta], ignore_index=True)[list(_ROW)].astype(_ROW)
+
+    def anti(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_INCR_COLS)
+        seen = set(p.loc[p["side"] == 0, "text_hash"])
+        fresh = p[(p["side"] == 1) & ~p["text_hash"].isin(seen)]
+        if fresh.empty:
+            return typed_empty(_INCR_COLS)
+        out = (fresh.groupby("text_hash", as_index=False)
+               .agg(doc_id=("doc_id", "min")))
+        return out[list(_INCR_COLS)].astype(_INCR_COLS)
+
+    return bucketed_aggregate(ds.map_batches(rows, batch_format="pandas"),
+                              ["text_hash"], anti,
+                              coalesce=partitions_for())

@@ -138,6 +138,8 @@ def ops_queries():
         "text_kcore": _wrap(textstats.text_kcore),
         "corpus_split_assign": _wrap(textstats.corpus_split_assign),
         "doc_len_mad_by_lang": _wrap(textstats.doc_len_mad_by_lang),
+        "text_bm25_topk": _wrap(textstats.bm25_topk),
+        "dedup_incremental": _wrap(dedup.dedup_incremental),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -891,6 +893,64 @@ WHERE NOT EXISTS (
 ORDER BY n_chars
 """,
         "text_kcore": _sql_kcore(textstats.KCORE_K),
+        # BM25 (Lucene idf, k1=1.2 b=0.75) for the top-3 heavy-token
+        # query; per-term ppm floors summed as ints; float constants
+        # written as the engine computes them ((1.2 + 1.0), not 2.2 —
+        # they round differently)
+        "text_bm25_topk": rf"""
+WITH tkk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tkk),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkk),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt
+       FROM dl),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+heavy AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS rk FROM c)
+  WHERE rk <= {textstats.BM25_NQ}
+),
+df AS (SELECT h.token, CAST(count(DISTINCT tok.doc_id) AS BIGINT) AS df
+       FROM heavy h JOIN tok ON tok.token = h.token GROUP BY 1),
+idf AS (
+  SELECT df.token,
+         CAST(floor(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                    * 1000000) AS BIGINT) AS idf_ppm
+  FROM df CROSS JOIN st
+),
+tfq AS (SELECT tok.doc_id, tok.token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN heavy ON tok.token = heavy.token GROUP BY 1, 2),
+sc AS (
+  SELECT tfq.doc_id,
+         CAST(sum(CAST(floor(idf.idf_ppm * tfq.tf * ({textstats.BM25_K1} + 1.0)
+              / (tfq.tf + {textstats.BM25_K1}
+                 * ((1.0 - {textstats.BM25_B})
+                    + {textstats.BM25_B} * (dl.dl * st.n / st.tt))))
+              AS BIGINT)) AS BIGINT) AS score_ppm
+  FROM tfq JOIN idf ON tfq.token = idf.token
+  JOIN dl ON dl.doc_id = tfq.doc_id CROSS JOIN st
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score_ppm, CAST(rk AS BIGINT) AS rnk
+FROM (SELECT doc_id, score_ppm,
+             row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rk
+      FROM sc WHERE score_ppm > 0)
+WHERE rk <= {textstats.BM25_TOPK}
+""",
+        # delta-vs-base ingest dedup on the parity stand-in split
+        "dedup_incremental": f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         {sql_stable_id("CAST(doc_id AS VARCHAR)")} % 2 AS par
+  FROM documents
+),
+base AS (SELECT DISTINCT text_hash FROM h WHERE par = 0),
+delta AS (SELECT text_hash, min(doc_id) AS doc_id FROM h WHERE par = 1
+          GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text_hash
+FROM delta d WHERE d.text_hash NOT IN (SELECT text_hash FROM base)
+""",
         # the identical md5 split hash; CASE over the recomputed bucket
         "corpus_split_assign": f"""
 WITH b AS (

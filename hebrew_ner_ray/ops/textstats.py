@@ -1686,3 +1686,127 @@ def doc_len_mad_by_lang(sf_dir: str):
         return pd.DataFrame(rows, columns=list(_MAD_COLS)).astype(_MAD_COLS)
 
     return small_key_aggregate(hist, final)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_NQ = 3
+
+
+_BM25_COLS = {"doc_id": "int64", "score_ppm": "int64", "rnk": "int64"}
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_TOPK, n_query: int = BM25_NQ):
+    """BM25 retrieval over the corpus for a deterministic query (the
+    top-``n_query`` heavy-hitter tokens — self-contained, no external
+    input): the scoring shape every retrieval-augmented data pipeline
+    runs at corpus scale.
+
+    Lucene idf form (ln(1 + (N − df + ½)/(df + ½)) — non-negative even
+    for stopword-frequent terms), floored to integer ppm PER TERM before
+    summation so distributed sums are exact; the tf normalization
+    (k1 = 1.2, b = 0.75) is the identical float64 expression on both
+    sides, so floor rounding agrees bit-for-bit. Three streaming passes:
+    (1) the heavy-hitter query terms (existing combiner pipeline),
+    (2) per-doc (dl, per-term tf) projection + tiny (N, T, df) stats,
+    (3) broadcast-stats scoring with per-partition top-k → one final
+    task. Nothing corpus-sized reaches the driver."""
+    import math
+
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    heavy = heavy_hitters(sf_dir, k=n_query).to_pandas()
+    terms = heavy["token"].tolist()
+    if not terms:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _BM25_COLS.items()}))
+
+    tf_cols = [f"tf{i}" for i in range(len(terms))]
+    _PROJ = {"doc_id": "int64", "dl": "int64",
+             **{c: "int64" for c in tf_cols}}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+")
+        out = {"doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+               "dl": toks.str.len().to_numpy(dtype=np.int64)}
+        e = toks.explode()  # one explode, vectorized == per term
+        for i, t in enumerate(terms):
+            cnt = (e == t).groupby(level=0).sum()
+            out[tf_cols[i]] = cnt.reindex(toks.index, fill_value=0
+                                          ).to_numpy(dtype=np.int64)
+        return pd.DataFrame(out).astype(_PROJ)
+
+    proj = ds.map_batches(project, batch_format="pandas").materialize()
+
+    _ST = {"n": "int64", "tt": "int64", **{f"df{i}": "int64"
+                                           for i in range(len(terms))}}
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": [np.int64(len(b))], "tt": [np.int64(b["dl"].sum())]}
+        for i, c in enumerate(tf_cols):
+            row[f"df{i}"] = [np.int64((b[c] > 0).sum())]
+        return pd.DataFrame(row)
+
+    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_ST)
+        return pd.DataFrame({c: [np.int64(g[c].sum())] for c in _ST}).astype(_ST)
+
+    st = small_key_aggregate(
+        proj.map_batches(stat_partial, batch_format="pandas"), stat_merge
+    ).to_pandas()
+    n, tt = int(st["n"].iloc[0]), int(st["tt"].iloc[0])
+    # math.log(1.0 + x), NOT log1p: the SQL twin computes ln(1 + x) and
+    # the two can differ in the last ulp, flipping the ppm floor
+    idf_ppm = [np.int64(math.floor(
+        math.log(1.0 + (n - int(st[f"df{i}"].iloc[0]) + 0.5)
+                 / (int(st[f"df{i}"].iloc[0]) + 0.5)) * 1_000_000))
+        for i in range(len(terms))]
+    params = ray.put((idf_ppm, n, tt, BM25_K1, BM25_B))
+
+    class Score:
+        def __init__(self):
+            self.idf, self.n, self.tt, self.k1, self.b = ray.get(params)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            dl = batch["dl"].to_numpy(dtype=np.int64)
+            norm = self.k1 * ((1.0 - self.b)
+                              + self.b * (dl * self.n / self.tt))
+            score = np.zeros(len(batch), dtype=np.int64)
+            for i, c in enumerate(tf_cols):
+                tf = batch[c].to_numpy(dtype=np.int64)
+                s = np.floor(self.idf[i] * tf * (self.k1 + 1.0)
+                             / (tf + norm)).astype(np.int64)
+                score += np.where(tf > 0, s, 0)
+            out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                                "score_ppm": score})
+            out = out[out["score_ppm"] > 0]
+            # per-partition top-k: global top-k ⊆ union of local top-ks
+            return (out.sort_values(["score_ppm", "doc_id"],
+                                    ascending=[False, True], kind="mergesort")
+                    .head(k).reset_index(drop=True))
+
+    from hebrew_ner_ray.runtime import default_concurrency
+
+    cands = proj.map_batches(Score, batch_format="pandas",
+                             concurrency=default_concurrency())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_BM25_COLS)
+        g = (g.sort_values(["score_ppm", "doc_id"],
+                           ascending=[False, True], kind="mergesort")
+             .head(k).reset_index(drop=True))
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[list(_BM25_COLS)].astype(_BM25_COLS)
+
+    return small_key_aggregate(cands, final)

@@ -1871,3 +1871,47 @@ def test_doc_embedding_features_one_row_per_doc(ray_session):
     assert out["doc_id"].is_unique
     assert len(out) == 500
     assert (out["sq_norm_milli2"] >= 0).all()
+
+
+def test_bm25_scores_rank_term_density(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import bm25_topk
+
+    # vocabulary engineered so the top-3 heavy tokens are q1 q2 q3;
+    # doc 0 is saturated with query terms, doc 3 has none
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["q1 q1 q2 q3", "q1 x y", "q2 q3 z", "x y z w"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = bm25_topk(str(tmp_path), k=10).to_pandas()
+    assert out["rnk"].tolist() == list(range(1, len(out) + 1))
+    assert out["doc_id"].iloc[0] == 0          # densest doc wins
+    assert 3 not in set(out["doc_id"])          # no query terms → absent
+    assert (out["score_ppm"] > 0).all()
+    assert out["score_ppm"].is_monotonic_decreasing
+
+
+def test_dedup_incremental_only_new_delta_content(ray_session):
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.dedup import dedup_incremental
+
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    out = dedup_incremental(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    import hashlib
+
+    docs["h"] = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"]]
+    par = stable_ids([str(i) for i in docs["doc_id"]]) % 2
+    base = set(docs.loc[par == 0, "h"])
+    delta = docs[par == 1]
+    expect = (delta[~delta["h"].isin(base)]
+              .groupby("h", as_index=False).agg(doc_id=("doc_id", "min")))
+    assert len(out) == len(expect)
+    assert set(out["text_hash"]) == set(expect["h"])
+    assert out["doc_id"].is_unique
