@@ -84,6 +84,7 @@ def ops_queries():
         "sim_ivf_recall": _wrap(similarity.ivf_recall),
         "sim_embedding_centroids": _wrap(similarity.embedding_centroids),
         "sim_kmeans_assign": _wrap(similarity.kmeans_assign),
+        "sim_kmeans_lloyd": _wrap(similarity.kmeans_lloyd),
         "sim_embedding_gram": _wrap(similarity.embedding_gram),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
@@ -232,6 +233,55 @@ GROUP BY 1
 """)
 
 
+def _sql_kmeans(k: int, rounds: int = 24) -> str:
+    """Unrolled Lloyd's k-means twin (micro-unit integers, floor-division
+    means, argmin tie → smallest cid, empty clusters keep the previous
+    centroid). Sound in the unroll direction: Lloyd's is idempotent at
+    its fixed point, so rounds ≥ the engine's converged count (19 at
+    sf0.01, 13 at sf0.001 — engine raises past its own safety bound)
+    reproduce the fixed-point assignment exactly."""
+    head = f"""WITH ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS x
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS MATERIALIZED (
+  SELECT s.cid, e.dim, e.x AS c FROM seeds s JOIN ex e USING (vec_id)
+)"""
+    ctes = [head]
+    for r in range(rounds):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS d2
+  FROM ex e JOIN c{r} c USING (dim) GROUP BY 1, 2
+),
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM d{r}) WHERE rk = 1
+),
+s{r} AS (
+  SELECT a.cid, e.dim, CAST(floor(sum(e.x) * 1.0 / count(*)) AS BIGINT) AS m
+  FROM a{r} a JOIN ex e USING (vec_id) GROUP BY 1, 2
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.cid, c.dim, coalesce(s.m, c.c) AS c
+  FROM c{r} c LEFT JOIN s{r} s ON s.cid = c.cid AND s.dim = c.dim
+)""")
+    last = rounds - 1
+    return (",\n".join(ctes) + f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
+       CAST(d2 AS BIGINT) AS dist2
+FROM a{last}
+""")
+
+
 def _sql_clusters() -> str:
     """EXACT connected components: recursive transitive closure of the
     undirected pair graph, then min reachable node id per node. Matches
@@ -293,7 +343,7 @@ WHERE ag.doc_id NOT IN (SELECT doc_id FROM near_losers)
 
 def ops_oracles():
     from hebrew_ner_ray.fixtures.oracle import CORPUS_CTE
-    from hebrew_ner_ray.ops import relational, textstats, windows
+    from hebrew_ner_ray.ops import relational, similarity, textstats, windows
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_bands = MINHASH_K // MINHASH_BAND
@@ -1432,6 +1482,7 @@ FROM e GROUP BY label, dim
 """,
         # k-means E-step: integer squared L2 to the M-step centroids;
         # argmin tie-break = smallest centroid label (stated in the window)
+        "sim_kmeans_lloyd": _sql_kmeans(similarity.KMEANS_K),
         "sim_kmeans_assign": r"""
 WITH e AS (
   SELECT vec_id, label, CAST(t.j AS BIGINT) AS dim,

@@ -1915,3 +1915,30 @@ def test_dedup_incremental_only_new_delta_content(ray_session):
     assert len(out) == len(expect)
     assert set(out["text_hash"]) == set(expect["h"])
     assert out["doc_id"].is_unique
+
+
+def test_kmeans_lloyd_fixed_point(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.similarity import kmeans_lloyd
+
+    SF = "/root/testdata/sf0.001"
+    out = (kmeans_lloyd(SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(out) == n and out["vec_id"].is_unique
+    assert (out["dist2"] >= 0).all()
+    assert out["cluster"].nunique() <= 8
+    # fixed point: recomputing integer centroids from the final
+    # assignment and reassigning reproduces the same assignment
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    X = np.floor(np.stack(t["embedding"].to_list()).astype(np.float64)
+                 * 1_000_000).astype(np.int64)
+    a = out["cluster"].to_numpy()
+    C = np.stack([
+        np.floor(X[a == c].sum(axis=0) * 1.0 / (a == c).sum()).astype(np.int64)
+        for c in sorted(set(a))])
+    cids = np.array(sorted(set(a)), dtype=np.int64)
+    d2 = ((X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2 * (X @ C.T))
+    assert (cids[np.argmin(d2, axis=1)] == a).all()
