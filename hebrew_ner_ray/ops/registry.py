@@ -141,6 +141,8 @@ def ops_queries():
         "doc_len_mad_by_lang": _wrap(textstats.doc_len_mad_by_lang),
         "text_bm25_topk": _wrap(textstats.bm25_topk),
         "dedup_incremental": _wrap(dedup.dedup_incremental),
+        "text_entropy": _wrap(textstats.text_entropy),
+        "text_repetition": _wrap(textstats.text_repetition),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -943,6 +945,56 @@ WHERE NOT EXISTS (
 ORDER BY n_chars
 """,
         "text_kcore": _sql_kcore(textstats.KCORE_K),
+        # per-distinct-token floors (the lm_doc_logprob contract)
+        "text_entropy": r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM tk GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+t AS (
+  SELECT c.doc_id, n.n,
+         CAST(floor(c.c * ln(n.n * 1.0 / c.c) * 1000000.0 / n.n) AS BIGINT)
+           AS term
+  FROM c JOIN n USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(n) AS BIGINT) AS n_tokens,
+       CAST(sum(term) AS BIGINT) AS entropy_ppm
+FROM t GROUP BY 1
+""",
+        # Gopher-style repetition: dup-trigram and top-token ppm shares
+        "text_repetition": r"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3
+  FROM tk
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+topc AS (
+  SELECT doc_id, max(c) AS top FROM (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2) GROUP BY 1
+),
+tri AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS k
+  FROM tk, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3
+),
+d3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM tri GROUP BY 1)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.n3 AS n_trigrams,
+       CAST(CASE WHEN b.n3 > 0
+                 THEN floor((b.n3 - coalesce(d3.d, 0)) * 1000000.0 / b.n3)
+                 ELSE 0 END AS BIGINT) AS dup_trigram_ppm,
+       CAST(CASE WHEN b.nt > 0
+                 THEN floor(coalesce(topc.top, 0) * 1000000.0 / b.nt)
+                 ELSE 0 END AS BIGINT) AS top_token_ppm
+FROM base b LEFT JOIN d3 USING (doc_id) LEFT JOIN topc USING (doc_id)
+""",
         # BM25 (Lucene idf, k1=1.2 b=0.75) for the top-3 heavy-token
         # query; per-term ppm floors summed as ints; float constants
         # written as the engine computes them ((1.2 + 1.0), not 2.2 —

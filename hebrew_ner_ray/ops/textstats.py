@@ -1810,3 +1810,105 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK, n_query: int = BM25_NQ):
         return g[list(_BM25_COLS)].astype(_BM25_COLS)
 
     return small_key_aggregate(cands, final)
+
+
+_ENT_COLS = {"doc_id": "int64", "n_tokens": "int64", "entropy_ppm": "int64"}
+
+
+def text_entropy(sf_dir: str):
+    """Per-document unigram entropy (nats, integer ppm) — the
+    distribution-shape quality signal (near-zero entropy = degenerate
+    repetition). H = Σ_distinct floor(c · ln(n/c) · 1e6 / n): the floor
+    is applied PER DISTINCT TOKEN so the sum is an exact integer sum,
+    and the ln argument/multiplier order matches the SQL twin
+    expression exactly (the lm_doc_logprob contract). Stateless
+    vectorized map — no corpus statistic, no exchange."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+")
+        e = pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(dtype=np.int64),
+                                toks.str.len().to_numpy(dtype=np.int64)),
+            "token": np.concatenate([np.asarray(t, dtype=object)
+                                     for t in toks if len(t)]
+                                    ) if toks.str.len().sum() else
+                     np.empty(0, dtype=object),
+        })
+        if e.empty:
+            return typed_empty(_ENT_COLS)
+        c = (e.groupby(["doc_id", "token"], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        n = c.groupby("doc_id")["c"].transform("sum").to_numpy(dtype=np.int64)
+        cc = c["c"].to_numpy(dtype=np.int64)
+        term = np.floor(cc * np.log(n * 1.0 / cc) * 1_000_000.0 / n
+                        ).astype(np.int64)
+        out = (pd.DataFrame({"doc_id": c["doc_id"], "n_tokens": n,
+                             "entropy_ppm": term})
+               .groupby("doc_id", as_index=False)
+               .agg(n_tokens=("n_tokens", "first"),
+                    entropy_ppm=("entropy_ppm", "sum")))
+        return out[list(_ENT_COLS)].astype(_ENT_COLS)
+
+    return ds.map_batches(run, batch_format="pandas")
+
+
+_REP_COLS = {"doc_id": "int64", "n_trigrams": "int64", "dup_trigram_ppm": "int64",
+             "top_token_ppm": "int64"}
+
+
+def text_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document: the fraction of
+    token-trigram occurrences that are repeats (1 − distinct/total) and
+    the most-frequent-token share — the two cheapest high-precision
+    filters for boilerplate and degenerate generations. Integer ppm via
+    the same floor((a·1e6)/b) both sides; docs shorter than 3 tokens
+    report n_trigrams = 0 and dup ppm 0. Stateless map."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        doc_ids = b["doc_id"].to_numpy(dtype=np.int64)
+        n3 = np.maximum(lens - 2, 0)
+        out = pd.DataFrame({"doc_id": doc_ids, "n_trigrams": n3})
+        if lens.sum() == 0:
+            out["dup_trigram_ppm"] = np.int64(0)
+            out["top_token_ppm"] = np.int64(0)
+            return out[list(_REP_COLS)].astype(_REP_COLS)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        docrep = np.repeat(doc_ids, lens)
+        # most-frequent-token share, fully vectorized
+        topc = (pd.DataFrame({"d": docrep, "t": flat})
+                .groupby(["d", "t"]).size().groupby(level=0).max())
+        top = pd.Series(doc_ids).map(topc).fillna(0).to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out["top_token_ppm"] = np.where(
+                lens > 0, np.floor(top * 1_000_000.0
+                                   / np.maximum(lens, 1)), 0).astype(np.int64)
+        # distinct trigrams per doc: shifted key columns, doc-boundary mask
+        same = (docrep[:-2] == docrep[1:-1]) & (docrep[1:-1] == docrep[2:])
+        # ' ' is a safe join char: tokens are \S+ so no token contains it
+        key = (pd.Series(flat[:-2]) + " " + pd.Series(flat[1:-1])
+               + " " + pd.Series(flat[2:]))
+        d3 = (pd.DataFrame({"d": docrep[:-2][same],
+                            "k": key.to_numpy(dtype=object)[same]})
+              .drop_duplicates().groupby("d").size())
+        dd = pd.Series(doc_ids).map(d3).fillna(0).to_numpy(dtype=np.int64)
+        out["dup_trigram_ppm"] = np.where(
+            n3 > 0, np.floor((n3 - dd) * 1_000_000.0 / np.maximum(n3, 1)),
+            0).astype(np.int64)
+        return out[list(_REP_COLS)].astype(_REP_COLS)
+
+    return ds.map_batches(run, batch_format="pandas")

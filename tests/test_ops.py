@@ -1942,3 +1942,48 @@ def test_kmeans_lloyd_fixed_point(ray_session):
     cids = np.array(sorted(set(a)), dtype=np.int64)
     d2 = ((X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2 * (X @ C.T))
     assert (cids[np.argmin(d2, axis=1)] == a).all()
+
+
+def test_entropy_uniform_vs_degenerate(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import text_entropy
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["a b c d", "x x x x"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (text_entropy(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # uniform 4 tokens → ln(4) nats; degenerate → 0
+    assert out["entropy_ppm"].iloc[0] == 4 * math.floor(
+        1 * math.log(4.0) * 1_000_000.0 / 4)
+    assert out["entropy_ppm"].iloc[1] == 0
+    assert out["n_tokens"].tolist() == [4, 4]
+
+
+def test_repetition_flags_boilerplate(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import text_repetition
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["a b a b a b a b", "a b c d e f", "x y"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (text_repetition(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc1: 6 trigrams, 2 distinct → dup 4/6; top token 4/8
+    assert out.loc[0, "n_trigrams"] == 6
+    assert out.loc[0, "dup_trigram_ppm"] == 666666
+    assert out.loc[0, "top_token_ppm"] == 500000
+    # doc2: all distinct → 0 dup; doc3: too short → 0 trigrams
+    assert out.loc[1, "dup_trigram_ppm"] == 0
+    assert out.loc[2, "n_trigrams"] == 0 and out.loc[2, "dup_trigram_ppm"] == 0
+    assert out.loc[2, "top_token_ppm"] == 500000
