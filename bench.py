@@ -156,6 +156,12 @@ def run_benchmarks() -> dict:
     timed("events_running_total",
           lambda: events_running_total(SF_DIR).count())
 
+    from hebrew_ner_ray.ops.textstats import bm25_topk
+    timed("text_bm25_topk", lambda: bm25_topk(SF_DIR).count())
+
+    from hebrew_ner_ray.ops.similarity import kmeans_lloyd
+    timed("sim_kmeans_lloyd", lambda: kmeans_lloyd(SF_DIR).count())
+
     ray.shutdown()
 
     headline = timings["kg_build"]
