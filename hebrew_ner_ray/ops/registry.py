@@ -85,6 +85,8 @@ def ops_queries():
         "sim_embedding_centroids": _wrap(similarity.embedding_centroids),
         "sim_kmeans_assign": _wrap(similarity.kmeans_assign),
         "sim_kmeans_lloyd": _wrap(similarity.kmeans_lloyd),
+        "sim_ann_topk_filtered": _wrap(similarity.ann_topk_filtered),
+        "events_daily_trend": _wrap(windows.events_daily_trend),
         "sim_embedding_gram": _wrap(similarity.embedding_gram),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
@@ -1535,6 +1537,53 @@ FROM e GROUP BY label, dim
         # k-means E-step: integer squared L2 to the M-step centroids;
         # argmin tie-break = smallest centroid label (stated in the window)
         "sim_kmeans_lloyd": _sql_kmeans(similarity.KMEANS_K),
+        # ann_topk with the label predicate pushed into the candidate scan
+        "sim_ann_topk_filtered": f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlab,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label = q.qlab
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sc, 6) AS score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}
+""",
+        # grouped OLS slope from exact integer moments; x = days since the
+        # type's first active day; float-floor slope (DuckDB // truncates)
+        "events_daily_trend": f"""
+WITH d AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {windows.DAY_US}) * {windows.DAY_US}
+              AS BIGINT) AS day_us,
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type,
+         (day_us // {windows.DAY_US})
+           - min(day_us // {windows.DAY_US})
+               OVER (PARTITION BY event_type) AS x,
+         y
+  FROM d
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM x GROUP BY 1
+)
+SELECT event_type, n AS n_days, sy AS total_value_micro,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE floor(1000.0 * (n * sxy - sx * sy)
+                            / (n * sxx - sx * sx)) END AS BIGINT)
+         AS slope_milli
+FROM m
+""",
         "sim_kmeans_assign": r"""
 WITH e AS (
   SELECT vec_id, label, CAST(t.j AS BIGINT) AS dim,

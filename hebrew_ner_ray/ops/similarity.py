@@ -790,3 +790,67 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
 
     return ds.map_batches(Final, batch_format="pandas",
                           concurrency=default_concurrency())
+
+
+def _load_queries_with_labels(sf_dir: str, n_queries: int = N_QUERIES):
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy().astype(np.int64)
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, labels, mat
+
+
+class FilteredTopKScorer:
+    """ann_topk's scorer with a metadata predicate pushed into the scan:
+    candidates must share the query's label — filtered vector search,
+    the retrieval shape where a WHERE clause rides along with the ANN."""
+
+    def __init__(self, query_ref, k: int = TOPK):
+        import ray
+
+        self.qids, self.qlabels, self.qmat = ray.get(query_ref)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        scores = self.qmat @ mat.T
+        rows = []
+        for qi, qid in enumerate(self.qids):
+            s = scores[qi]
+            cand = np.flatnonzero((ids != qid) & (labels == self.qlabels[qi]))
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((ids[cand], -s[cand]))][: self.k]
+            for j in order:
+                rows.append((qid, ids[j], s[j]))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"]).astype(
+            {"query_id": "int64", "vec_id": "int64"})
+
+
+def ann_topk_filtered(sf_dir: str):
+    """Label-filtered exact top-k cosine search (same broadcast-queries /
+    local-top-k / tiny-merge plan as ann_topk; the predicate is applied
+    INSIDE the scoring scan, so filtered search costs the same single
+    pass as unfiltered)."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange
+
+    query_ref = ray.put(_load_queries_with_labels(sf_dir))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    local = ds.map_batches(
+        FilteredTopKScorer,
+        fn_constructor_kwargs={"query_ref": query_ref},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=default_concurrency(),
+    )
+    return grouped_exchange(local, ["query_id"], _final_topk, n_partitions=1)

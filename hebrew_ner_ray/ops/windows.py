@@ -1134,3 +1134,73 @@ def events_global_concurrency(sf_dir: str):
                              "at_us": [np.int64(at)]}).astype(_GCONC_COLS)
 
     return small_key_aggregate(cands, final)
+
+
+_TREND_COLS = {"event_type": "object", "n_days": "int64",
+               "total_value_micro": "int64", "slope_milli": "int64"}
+
+
+def events_daily_trend(sf_dir: str):
+    """Grouped OLS trend: per event type, the least-squares slope of
+    daily value totals against the day index — the regression shape on
+    top of exact moment sums. Daily totals come from the (type, day)
+    combiner exchange; the per-type slope is computed from FOUR exact
+    integer moments (n, Σx, Σy, Σxy, Σx²) with x = days since the
+    type's first active day (small, so every moment is far inside
+    int64). slope_milli = floor(1000·(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)) via
+    the identical float64 expression both sides (DuckDB's integer ``//``
+    truncates where Python floors, so the float floor IS the contract).
+    """
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _D = {"event_type": "object", "day_us": "int64", "y": "int64"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(b["ts"]).to_numpy()
+        return (pd.DataFrame({
+            "event_type": b["event_type"].astype(object),
+            "day_us": (us // DAY_US) * DAY_US,
+            "y": _micro(b["value"]),
+        }).groupby(["event_type", "day_us"], as_index=False)
+          .agg(y=("y", "sum")).astype(_D))
+
+    daily = bucketed_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                               ["event_type", "day_us"],
+                               lambda g: (g.groupby(["event_type", "day_us"],
+                                                    as_index=False)
+                                          .agg(y=("y", "sum")).astype(_D))
+                               if not g.empty else typed_empty(_D),
+                               coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_TREND_COLS)
+        rows = []
+        for et, grp in g.groupby("event_type", sort=True):
+            day = (grp["day_us"].to_numpy(dtype=np.int64) // DAY_US)
+            x = day - day.min()
+            y = grp["y"].to_numpy(dtype=np.int64)
+            n = np.int64(len(x))
+            sx, sy = np.int64(x.sum()), np.int64(y.sum())
+            sxy = np.int64((x * y).sum())
+            sxx = np.int64((x * x).sum())
+            den = n * sxx - sx * sx
+            if den == 0:
+                slope = np.int64(0)
+            else:
+                slope = np.int64(np.floor(
+                    1000.0 * (n * sxy - sx * sy) / den))
+            rows.append((et, int(n), int(sy), int(slope)))
+        return pd.DataFrame(rows, columns=list(_TREND_COLS)).astype(_TREND_COLS)
+
+    return small_key_aggregate(daily, final)

@@ -1987,3 +1987,47 @@ def test_repetition_flags_boilerplate(ray_session, tmp_path):
     assert out.loc[1, "dup_trigram_ppm"] == 0
     assert out.loc[2, "n_trigrams"] == 0 and out.loc[2, "dup_trigram_ppm"] == 0
     assert out.loc[2, "top_token_ppm"] == 500000
+
+
+def test_daily_trend_known_slope(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_daily_trend
+
+    base = pd.Timestamp("2024-01-01")
+    # type "up": daily totals 1.0, 2.0, 3.0 → slope exactly 1.0/day
+    # type "flat": 5.0, 5.0 → slope 0
+    ts, et, val = [], [], []
+    for d, v in enumerate([1.0, 2.0, 3.0]):
+        ts.append(base + pd.Timedelta(days=d)); et.append("up"); val.append(v)
+    for d, v in enumerate([5.0, 5.0]):
+        ts.append(base + pd.Timedelta(days=d)); et.append("flat"); val.append(v)
+    tbl = pa.table({
+        "event_type": et,
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array(val, type=pa.float64()),
+        "user_id": pa.array(range(len(et)), type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_daily_trend(str(tmp_path)).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    flat, up = out.iloc[0], out.iloc[1]
+    assert up["event_type"] == "up" and up["n_days"] == 3
+    assert up["slope_milli"] == 1_000_000_000  # 1e6 micro/day in milli
+    assert flat["slope_milli"] == 0
+
+
+def test_ann_filtered_respects_label(ray_session):
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.similarity import ann_topk_filtered
+
+    SF = "/root/testdata/sf0.001"
+    out = ann_topk_filtered(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    assert len(out) > 0
+    assert all(lab[q] == lab[v] for q, v in zip(out["query_id"], out["vec_id"]))
+    assert (out["query_id"] != out["vec_id"]).all()
