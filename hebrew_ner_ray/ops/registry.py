@@ -87,6 +87,7 @@ def ops_queries():
         "sim_kmeans_lloyd": _wrap(similarity.kmeans_lloyd),
         "sim_ann_topk_filtered": _wrap(similarity.ann_topk_filtered),
         "events_daily_trend": _wrap(windows.events_daily_trend),
+        "events_throttled": _wrap(windows.events_throttled),
         "sim_embedding_gram": _wrap(similarity.embedding_gram),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
@@ -1551,6 +1552,21 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        round(sc, 6) AS score
 FROM s
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}
+""",
+        # LAG-based throttle: first of a same-instant burst survives
+        "events_throttled": f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_us, event_id) AS prev
+  FROM e
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(ts_us AS BIGINT) AS ts_us
+FROM l WHERE prev IS NULL OR ts_us - prev > {windows.THROTTLE_US}
 """,
         # grouped OLS slope from exact integer moments; x = days since the
         # type's first active day; float-floor slope (DuckDB // truncates)

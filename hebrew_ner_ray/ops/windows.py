@@ -1204,3 +1204,45 @@ def events_daily_trend(sf_dir: str):
         return pd.DataFrame(rows, columns=list(_TREND_COLS)).astype(_TREND_COLS)
 
     return small_key_aggregate(daily, final)
+
+
+THROTTLE_US = 5 * 60 * 1_000_000
+_THR_COLS = {"event_id": "int64", "user_id": "int64", "event_type": "object",
+             "ts_us": "int64"}
+
+
+def events_throttled(sf_dir: str, gap_us: int = THROTTLE_US):
+    """Streaming throttle/dedup: keep an event only if the PREVIOUS event
+    of the same (user, type) is more than ``gap_us`` older — the
+    rate-limit / duplicate-suppression shape (LAG-based filter). One
+    exchange keyed on (user, type); each complete-key group sorts by
+    (ts, event_id) and applies the vectorized lag filter. Tie-break
+    pinned: equal timestamps order by event_id, so the first of a
+    same-instant burst survives and the rest are throttled."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "event_type": b["event_type"].astype(object),
+            "ts_us": _epoch_us(b["ts"]).to_numpy(),
+        })
+
+    def throttle(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_THR_COLS)
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (ts[1:] - ts[:-1]) > gap_us
+        return g[keep][list(_THR_COLS)].astype(_THR_COLS)
+
+    return grouped_exchange(ds.map_batches(project, batch_format="pandas"),
+                            ["user_id", "event_type"], throttle)

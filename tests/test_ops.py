@@ -2031,3 +2031,27 @@ def test_ann_filtered_respects_label(ray_session):
     assert len(out) > 0
     assert all(lab[q] == lab[v] for q, v in zip(out["query_id"], out["vec_id"]))
     assert (out["query_id"] != out["vec_id"]).all()
+
+
+def test_throttled_lag_filter_and_burst_tiebreak(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_throttled
+
+    base = pd.Timestamp("2024-01-01")
+    ts = [base, base, base + pd.Timedelta(minutes=3),
+          base + pd.Timedelta(minutes=10), base]
+    tbl = pa.table({
+        "event_id": pa.array([2, 1, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": ["a", "a", "a", "a", "a"],
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_throttled(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # user1: burst at t0 → event_id 1 survives (tie → id order), 2 is
+    # throttled; +3 min vs previous event (t0) ≤ 5 min → throttled;
+    # +10 min vs previous (3 min) = 7 min > 5 → survives. user2 trivially.
+    assert out["event_id"].tolist() == [1, 4, 5]
