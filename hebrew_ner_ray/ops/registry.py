@@ -118,6 +118,7 @@ def ops_queries():
         "promo_revenue": _wrap(relational.promo_revenue),
         "price_quantiles": _wrap(relational.price_quantiles_twopass),
         "volume_shipping": _wrap(relational.volume_shipping),
+        "dq_constraints": _wrap(relational.dq_constraints),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -1263,6 +1264,23 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
 SELECT CAST(p.q AS BIGINT) AS q_pct, r.v AS value_cents
 FROM (VALUES {", ".join(f"({p})" for p in relational.QUANT_PCTS)}) p(q)
 JOIN r ON r.rn = (r.n * p.q + 99) // 100
+""",
+        # dbt-style constraint battery: violation counts, one audit row
+        "dq_constraints": """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+    AS n_orphan_lineitems,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+    AS n_orphan_orders,
+  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+     (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+    AS n_dup_orderkeys,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE trim(text) = '')
+    AS n_empty_docs
 """,
         # Q7 shape: nation-pair revenue by ship year, both directions
         "volume_shipping": f"""

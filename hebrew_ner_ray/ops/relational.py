@@ -1651,3 +1651,106 @@ def volume_shipping(sf_dir: str):
         return out[list(_Q7_COLS)].astype(_Q7_COLS)
 
     return small_key_aggregate(partials, final)
+
+
+_DQ_COLS = {"n_orphan_lineitems": "int64", "n_orphan_orders": "int64",
+            "n_dup_orderkeys": "int64", "n_empty_docs": "int64"}
+
+
+def dq_constraints(sf_dir: str):
+    """Data-quality constraint audit — the dbt-style test battery as ONE
+    engine pass per constraint, each returning a violation count:
+
+    - referential integrity lineitem→orders and orders→customer
+      (anti-join counts via keyed exchanges; the fact side ships
+      per-batch (key, count) combiners, never rows),
+    - o_orderkey uniqueness (dup count from the same exchange shape),
+    - non-empty document text (stateless map partial).
+
+    Violation counts are model-sized, so the final assembly is
+    driver-side; the scan work is all distributed. On healthy inputs
+    every count is 0 — the audit row IS the gate."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    _ROW = {"key": "int64", "cnt": "int64", "side": "int64"}
+    _CNT = {"n": "int64"}
+
+    def _fact_side(col):
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b[col].value_counts()
+            return pd.DataFrame({"key": vc.index.to_numpy(dtype=np.int64),
+                                 "cnt": vc.to_numpy(dtype=np.int64),
+                                 "side": np.ones(len(vc), dtype=np.int64)})
+        return run
+
+    def _dim_side(col):
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[col].drop_duplicates().to_numpy(dtype=np.int64)
+            return pd.DataFrame({"key": k,
+                                 "cnt": np.zeros(len(k), dtype=np.int64),
+                                 "side": np.zeros(len(k), dtype=np.int64)})
+        return run
+
+    def _orphan_count(fact_path, fact_col, dim_path, dim_col) -> int:
+        fact = ray.data.read_parquet(fact_path, columns=[fact_col]
+                                     ).map_batches(_fact_side(fact_col),
+                                                   batch_format="pandas")
+        dim = ray.data.read_parquet(dim_path, columns=[dim_col]
+                                    ).map_batches(_dim_side(dim_col),
+                                                  batch_format="pandas")
+
+        def anti(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_CNT)
+            present = set(p.loc[p["side"] == 0, "key"])
+            f = p[p["side"] == 1]
+            return pd.DataFrame({"n": [np.int64(
+                f.loc[~f["key"].isin(present), "cnt"].sum())]})
+
+        parts = bucketed_aggregate(dim.union(fact), ["key"], anti,
+                                   coalesce=partitions_for())
+        return int(parts.sum("n") or 0)
+
+    orphan_li = _orphan_count(f"{sf_dir}/lineitem.parquet", "l_orderkey",
+                              f"{sf_dir}/orders.parquet", "o_orderkey")
+    orphan_ord = _orphan_count(f"{sf_dir}/orders.parquet", "o_custkey",
+                               f"{sf_dir}/customer.parquet", "c_custkey")
+
+    def dup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["o_orderkey"].value_counts()
+        return pd.DataFrame({"key": vc.index.to_numpy(dtype=np.int64),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    def dup_count(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CNT)
+        s = p.groupby("key")["cnt"].sum()
+        return pd.DataFrame({"n": [np.int64(s[s > 1].sum())]})
+
+    dups = bucketed_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey"]
+                              ).map_batches(dup_partial, batch_format="pandas"),
+        ["key"], dup_count, coalesce=partitions_for())
+    n_dup = int(dups.sum("n") or 0)
+
+    def empty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(
+            (b["text"].str.strip() == "").sum())]})
+
+    empties = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["text"]
+                                    ).map_batches(empty_partial,
+                                                  batch_format="pandas")
+    n_empty = int(empties.sum("n") or 0)
+
+    return pd.DataFrame({"n_orphan_lineitems": [orphan_li],
+                         "n_orphan_orders": [orphan_ord],
+                         "n_dup_orderkeys": [n_dup],
+                         "n_empty_docs": [n_empty]}).astype(_DQ_COLS)

@@ -2055,3 +2055,34 @@ def test_throttled_lag_filter_and_burst_tiebreak(ray_session, tmp_path):
     # throttled; +3 min vs previous event (t0) ≤ 5 min → throttled;
     # +10 min vs previous (3 min) = 7 min > 5 → survives. user2 trivially.
     assert out["event_id"].tolist() == [1, 4, 5]
+
+
+def test_dq_constraints_counts_injected_violations(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import dq_constraints
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 99, 99, 98], type=pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([10, 10, 77, 11], type=pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], type=pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["ok", "   ", ""],
+    }), tmp_path / "documents.parquet")
+
+    out = dq_constraints(str(tmp_path))
+    # 3 lineitems reference orderkeys 99/99/98 absent from orders;
+    # 1 order references custkey 77; orderkey 2 appears twice (2 rows);
+    # 2 docs are whitespace-only/empty
+    assert out["n_orphan_lineitems"].iloc[0] == 3
+    assert out["n_orphan_orders"].iloc[0] == 1
+    assert out["n_dup_orderkeys"].iloc[0] == 2
+    assert out["n_empty_docs"].iloc[0] == 2
