@@ -119,6 +119,7 @@ def ops_queries():
         "price_quantiles": _wrap(relational.price_quantiles_twopass),
         "volume_shipping": _wrap(relational.volume_shipping),
         "dq_constraints": _wrap(relational.dq_constraints),
+        "idle_rich_customers": _wrap(relational.idle_rich_customers),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -1264,6 +1265,32 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
 SELECT CAST(p.q AS BIGINT) AS q_pct, r.v AS value_cents
 FROM (VALUES {", ".join(f"({p})" for p in relational.QUANT_PCTS)}) p(q)
 JOIN r ON r.rn = (r.n * p.q + 99) // 100
+""",
+        # Q22 shape; above-average test as the exact integer
+        # cross-multiply cents·N > Σcents (no float average anywhere)
+        "idle_rich_customers": f"""
+WITH bal AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > 0
+),
+rich AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(floor(c.c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer c CROSS JOIN bal
+  WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) > 0
+    AND CAST(floor(c.c_acctbal * 100) AS BIGINT) * bal.n > bal.s
+),
+idle AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+      AND strftime(o.o_orderdate, '%Y-%m-%d') >= '{relational.Q22_CUTOFF}')
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS acctbal_cents
+FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+GROUP BY 1
 """,
         # dbt-style constraint battery: violation counts, one audit row
         "dq_constraints": """

@@ -1754,3 +1754,113 @@ def dq_constraints(sf_dir: str):
                          "n_orphan_orders": [orphan_ord],
                          "n_dup_orderkeys": [n_dup],
                          "n_empty_docs": [n_empty]}).astype(_DQ_COLS)
+
+
+Q22_CUTOFF = "2000-06-01"
+_Q22_COLS = {"n_name": "object", "n_customers": "int64",
+             "acctbal_cents": "int64"}
+
+
+def idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average balances and no
+    recent orders, rolled up by nation — the global-scalar-then-filter
+    composite (aggregate → broadcast scalar → filter → anti-join →
+    group).
+
+    The average comparison is EXACT integer arithmetic: instead of
+    materializing avg = Σcents/N as a float, each customer's test is the
+    cross-multiplied ``cents · N > Σcents`` — no float boundary lottery
+    at all (int64 bound: cents·N overflows only past ~10¹² customers ×
+    typical balances; the SQL twin states the identical inequality).
+    The anti-join against recent orders ships per-batch distinct
+    custkeys (combiner) through one custkey exchange."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+
+    # pass 1: the global (Σcents, N) over positive-balance customers
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents > 0
+        return pd.DataFrame({"s": [np.int64(cents[pos].sum())],
+                             "n": [np.int64(pos.sum())]})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    bal = small_key_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_acctbal"]
+                              ).map_batches(bal_partial, batch_format="pandas"),
+        lambda g: pd.DataFrame({"s": [np.int64(g["s"].sum())],
+                                "n": [np.int64(g["n"].sum())]})
+        if not g.empty else typed_empty({"s": "int64", "n": "int64"})
+    ).to_pandas()
+    total, count = int(bal["s"].iloc[0]), int(bal["n"].iloc[0])
+
+    _ROW = {"key": "int64", "nationkey": "int64", "cents": "int64",
+            "side": "int64"}
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        # exact above-average test: cents·N > Σcents (both sides int64)
+        rich = (cents > 0) & (cents * count > total)
+        b = b[rich]
+        return pd.DataFrame({
+            "key": b["c_custkey"].to_numpy(dtype=np.int64),
+            "nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "cents": cents[rich],
+            "side": np.ones(rich.sum(), dtype=np.int64)}).astype(_ROW)
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+        k = b.loc[d >= Q22_CUTOFF, "o_custkey"].drop_duplicates()
+        n = len(k)
+        return pd.DataFrame({"key": k.to_numpy(dtype=np.int64),
+                             "nationkey": np.zeros(n, dtype=np.int64),
+                             "cents": np.zeros(n, dtype=np.int64),
+                             "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=cust_cols
+                                 ).map_batches(cust_side, batch_format="pandas")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"]
+                                   ).map_batches(order_side,
+                                                 batch_format="pandas")
+
+    _PART = {"nationkey": "int64", "n_customers": "int64",
+             "acctbal_cents": "int64"}
+
+    def anti(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PART)
+        active = set(p.loc[p["side"] == 0, "key"])
+        c = p[(p["side"] == 1) & ~p["key"].isin(active)]
+        if c.empty:
+            return typed_empty(_PART)
+        return (c.groupby("nationkey", as_index=False)
+                .agg(n_customers=("key", "size"),
+                     acctbal_cents=("cents", "sum")).astype(_PART))
+
+    parts = bucketed_aggregate(orders.union(cust), ["key"], anti,
+                               coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q22_COLS)
+        out = (g.groupby("nationkey", as_index=False)
+               .agg(n_customers=("n_customers", "sum"),
+                    acctbal_cents=("acctbal_cents", "sum")))
+        out["n_name"] = out["nationkey"].map(names)
+        return out[list(_Q22_COLS)].astype(_Q22_COLS)
+
+    return small_key_aggregate(parts, final)

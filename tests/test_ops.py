@@ -2086,3 +2086,31 @@ def test_dq_constraints_counts_injected_violations(ray_session, tmp_path):
     assert out["n_orphan_orders"].iloc[0] == 1
     assert out["n_dup_orderkeys"].iloc[0] == 2
     assert out["n_empty_docs"].iloc[0] == 2
+
+
+def test_idle_rich_exact_average_boundary(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import idle_rich_customers
+
+    # balances 1.00, 2.00, 3.00 → avg exactly 2.00: the boundary customer
+    # (cents·N == Σcents) must NOT count as above-average
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 0], type=pa.int32()),
+        "c_acctbal": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([3], type=pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("2001-01-01")],
+                                type=pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], type=pa.int32()),
+        "n_name": ["ZION"],
+    }), tmp_path / "nation.parquet")
+    out = idle_rich_customers(str(tmp_path)).to_pandas()
+    # only customer 3 is above average (300·3 > 600) but has a recent
+    # order → anti-joined away; customer 2 is exactly average → excluded
+    assert len(out) == 0
