@@ -2114,3 +2114,45 @@ def test_idle_rich_exact_average_boundary(ray_session, tmp_path):
     # only customer 3 is above average (300·3 > 600) but has a recent
     # order → anti-joined away; customer 2 is exactly average → excluded
     assert len(out) == 0
+
+
+def test_new_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
+    """Same randomized differential harness for the session-3 event
+    operators: negative values (dropped/kept per each op's pinned rule),
+    duplicate timestamps, 40 users × 5 types."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    ts = pa.array(rng.randint(0, 5 * 86_400_000_000, n).astype("int64"),
+                  type=pa.timestamp("us"))
+    tbl = pa.table(
+        {"event_id": pa.array(np.arange(n), type=pa.int64()),
+         "ts": ts,
+         "user_id": pa.array(rng.randint(1, 40, n).astype("int64")),
+         "event_type": pa.array(rng.choice(
+             ["view", "click", "purchase", "signup", "error"], n)),
+         "value": pa.array(rng.randn(n) * 50),
+         "props": pa.array(['{"k": 1}'] * n)})
+    pq.write_table(tbl, tmp_path / "events.parquet", row_group_size=500)
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    for name in ["events_concurrency", "events_daily_unique",
+                 "events_value_histogram", "events_daily_trend",
+                 "events_throttled", "events_global_concurrency"]:
+        got = qs[name](str(tmp_path))
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(sqls[name]).df()
+        got = (got[sorted(got.columns)]
+               .sort_values(sorted(got.columns)).reset_index(drop=True))
+        want = (want[sorted(want.columns)]
+                .sort_values(sorted(want.columns)).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=name)
