@@ -683,28 +683,59 @@ KMEANS_MAX_ROUNDS = 64
 _LLOYD_COLS = {"vec_id": "int64", "cluster": "int64", "dist2": "int64"}
 
 
+KMEANS_DRIVER_LIMIT = 500_000  # rows; k·D model + N×D micro ints fit easily
+
+
+def _kmeans_micro_of(b: pd.DataFrame) -> np.ndarray:
+    return np.floor(np.stack(b["embedding"].to_list()).astype(np.float64)
+                    * 1_000_000).astype(np.int64)
+
+
+def _kmeans_assign_to(X: np.ndarray, C: np.ndarray):
+    x2 = (X * X).sum(axis=1)
+    c2 = (C * C).sum(axis=1)
+    d2 = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
+    best = np.argmin(d2, axis=1)  # ties → smallest cluster id
+    return best, d2[np.arange(len(best)), best]
+
+
+def _kmeans_mstep(C: np.ndarray, sums: pd.DataFrame) -> np.ndarray:
+    """Integer M-step from (cid, dim, s, n) sums; empty clusters hold."""
+    New = C.copy()
+    for cid, grp in sums.groupby("cid"):
+        grp = grp.sort_values("dim")
+        n = int(grp["n"].iloc[0])
+        New[int(cid)] = np.floor(
+            grp["s"].to_numpy(dtype=np.int64) * 1.0 / n).astype(np.int64)
+    return New
+
+
 def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
-                 max_rounds: int = KMEANS_MAX_ROUNDS):
+                 max_rounds: int = KMEANS_MAX_ROUNDS,
+                 driver_limit: int = KMEANS_DRIVER_LIMIT):
     """Lloyd's k-means iterated to the EXACT fixed point — the
-    distributed iterative-ML shape end-to-end: per round one streaming
-    E-step pass (broadcast k×D integer centroid model; per-batch
-    assignment + per-cluster dim-sum/count combiner, so the exchange
-    carries k·D rows per block, corpus-size-independent) and a
-    driver-side M-step on the model-sized sums. Convergence is integer
-    centroid equality (micro-units, floor-division means, empty clusters
-    keep their previous centroid), so the fixed point is exact and
-    bit-reproducible; raises past ``max_rounds``. Seeds = the k
-    smallest vec_ids' vectors (deterministic, no RNG). The SQL twin
-    unrolls a fixed round budget — sound because Lloyd's is idempotent
-    at the fixed point (extra unrolled rounds are no-ops); the engine
-    raising on round overflow protects the other direction. Returns the
-    fixed-point assignment (vec_id, cluster, dist2)."""
+    distributed iterative-ML shape end-to-end, with the engine's
+    size-aware dispatch: under ``driver_limit`` rows the micro matrix is
+    pulled ONCE and the loop runs locally (a synchronous per-round
+    cluster barrier on a model-sized problem is pure overhead — measured
+    3.8 s/round of task fixed cost vs 2 ms of compute at sf0.1); above
+    it, each round is one streaming task-based E-step pass (NO per-round
+    actor pool — plain tasks with a broadcast k×D centroid ref; the
+    per-batch combiner ships k·D rows per block, corpus-size-
+    independent) with a driver-side M-step on the model-sized sums.
+    Both arms are the identical integer arithmetic (micro-unit
+    centroids, floor-division means, argmin tie → smallest cid, empty
+    clusters hold), so they agree bit-for-bit (pinned in test).
+    Convergence is integer centroid equality; raises past
+    ``max_rounds``. Seeds = the k smallest vec_ids' vectors. The SQL
+    twin unrolls a fixed round budget — sound because Lloyd's is
+    idempotent at the fixed point. Returns (vec_id, cluster, dist2)."""
     import ray
     import ray.data
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
-    from hebrew_ner_ray.runtime import default_concurrency
 
+    meta_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id"]).column("vec_id").to_numpy()
     seeds = np.sort(ids)[:k]
@@ -715,59 +746,65 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
     C = np.floor(np.stack(seed_tbl["embedding"].to_list()).astype(np.float64)
                  * 1_000_000).astype(np.int64)
 
+    if meta_rows <= driver_limit:
+        t = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+        X = _kmeans_micro_of(t)
+        for _round in range(max_rounds):
+            best, _ = _kmeans_assign_to(X, C)
+            New = C.copy()
+            for c in np.unique(best):
+                m = best == c
+                New[int(c)] = np.floor(
+                    X[m].sum(axis=0) * 1.0 / m.sum()).astype(np.int64)
+            if (New == C).all():
+                break
+            C = New
+        else:
+            raise RuntimeError(
+                f"kmeans_lloyd did not converge in {max_rounds} rounds")
+        best, dist2 = _kmeans_assign_to(X, C)
+        out = pd.DataFrame({"vec_id": t["vec_id"].to_numpy(dtype=np.int64),
+                            "cluster": best.astype(np.int64),
+                            "dist2": dist2.astype(np.int64)}).astype(_LLOYD_COLS)
+        return ray.data.from_pandas(out)
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-
-    def micro_of(b: pd.DataFrame) -> np.ndarray:
-        return np.floor(np.stack(b["embedding"].to_list()).astype(np.float64)
-                        * 1_000_000).astype(np.int64)
-
-    def assign_to(X: np.ndarray, C: np.ndarray):
-        x2 = (X * X).sum(axis=1)
-        c2 = (C * C).sum(axis=1)
-        d2 = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
-        best = np.argmin(d2, axis=1)  # ties → smallest cluster id
-        return best, d2[np.arange(len(best)), best]
+                               columns=["vec_id", "embedding"]).materialize()
 
     _S = {"cid": "int64", "dim": "int64", "s": "int64", "n": "int64"}
-
     d = C.shape[1]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_S)
+        return (g.groupby(["cid", "dim"], as_index=False)
+                .agg(s=("s", "sum"), n=("n", "sum")).astype(_S))
+
     for _round in range(max_rounds):
         cref = ray.put(C)
 
-        class EStep:
-            def __init__(self):
-                self.C = ray.get(cref)
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                X = micro_of(b)
-                best, _ = assign_to(X, self.C)
-                rows = []
-                for c in np.unique(best):
-                    m = best == c
-                    s = X[m].sum(axis=0)
-                    rows.append(pd.DataFrame({
-                        "cid": np.full(d, c, dtype=np.int64),
-                        "dim": np.arange(d, dtype=np.int64),
-                        "s": s, "n": np.full(d, int(m.sum()), dtype=np.int64)}))
-                return pd.concat(rows, ignore_index=True).astype(_S)
-
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            if g.empty:
-                return typed_empty(_S)
-            return (g.groupby(["cid", "dim"], as_index=False)
-                    .agg(s=("s", "sum"), n=("n", "sum")).astype(_S))
+        def estep(b: pd.DataFrame) -> pd.DataFrame:
+            # plain TASK (no actor pool): a fresh pool per round costs
+            # seconds of spin-up; tasks reuse warm workers and the
+            # centroid model travels once as an object-store ref
+            Cr = ray.get(cref)
+            X = _kmeans_micro_of(b)
+            best, _ = _kmeans_assign_to(X, Cr)
+            rows = []
+            for c in np.unique(best):
+                m = best == c
+                rows.append(pd.DataFrame({
+                    "cid": np.full(d, c, dtype=np.int64),
+                    "dim": np.arange(d, dtype=np.int64),
+                    "s": X[m].sum(axis=0),
+                    "n": np.full(d, int(m.sum()), dtype=np.int64)}))
+            return pd.concat(rows, ignore_index=True).astype(_S)
 
         sums = small_key_aggregate(
-            ds.map_batches(EStep, batch_format="pandas",
-                           concurrency=default_concurrency()),
-            merge).to_pandas()
-        New = C.copy()
-        for cid, grp in sums.groupby("cid"):
-            grp = grp.sort_values("dim")
-            n = int(grp["n"].iloc[0])
-            New[int(cid)] = np.floor(
-                grp["s"].to_numpy(dtype=np.int64) * 1.0 / n).astype(np.int64)
+            ds.map_batches(estep, batch_format="pandas"), merge).to_pandas()
+        New = _kmeans_mstep(C, sums)
         if (New == C).all():
             break
         C = New
@@ -776,20 +813,16 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
 
     cfin = ray.put(C)
 
-    class Final:
-        def __init__(self):
-            self.C = ray.get(cfin)
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        Cr = ray.get(cfin)
+        X = _kmeans_micro_of(b)
+        best, dist2 = _kmeans_assign_to(X, Cr)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+            "cluster": best.astype(np.int64),
+            "dist2": dist2.astype(np.int64)}).astype(_LLOYD_COLS)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            X = micro_of(b)
-            best, dist2 = assign_to(X, self.C)
-            return pd.DataFrame({
-                "vec_id": b["vec_id"].to_numpy(dtype=np.int64),
-                "cluster": best.astype(np.int64),
-                "dist2": dist2.astype(np.int64)}).astype(_LLOYD_COLS)
-
-    return ds.map_batches(Final, batch_format="pandas",
-                          concurrency=default_concurrency())
+    return ds.map_batches(final, batch_format="pandas")
 
 
 def _load_queries_with_labels(sf_dir: str, n_queries: int = N_QUERIES):

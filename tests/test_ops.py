@@ -2156,3 +2156,14 @@ def test_new_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
                 .sort_values(sorted(want.columns)).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       obj=name)
+
+
+def test_kmeans_lloyd_arms_agree(ray_session):
+    from hebrew_ner_ray.ops.similarity import kmeans_lloyd
+
+    SF = "/root/testdata/sf0.001"
+    a = (kmeans_lloyd(SF).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (kmeans_lloyd(SF, driver_limit=0).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
