@@ -82,6 +82,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return bfs_depths(build_edges(annotated(sf_dir, "triples"),
                                       sort=False))
 
+    def kg_shortest_paths(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import shortest_paths
+
+        return shortest_paths(build_edges(annotated(sf_dir, "triples"),
+                                          sort=False))
+
     def _half(parity: int):
         """Deterministic corpus split on stable_id(doc_id) parity — the
         stand-in for 'yesterday's corpus' vs 'today's delta'."""
@@ -200,6 +206,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_components": kg_components,
         "kg_bfs_depths": kg_bfs_depths,
+        "kg_shortest_paths": kg_shortest_paths,
         "kg_nodes_incremental": kg_nodes_incremental,
         "kg_edges_incremental": kg_edges_incremental,
         "kg_span_invariant": kg_span_invariant,
@@ -234,6 +241,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_pagerank": o.sql_pagerank(),
         "kg_components": o.sql_components(),
         "kg_bfs_depths": o.sql_bfs_depths(),
+        "kg_shortest_paths": o.sql_shortest_paths(),
         # incremental half-builds must reproduce the one-shot oracles
         "kg_nodes_incremental": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),

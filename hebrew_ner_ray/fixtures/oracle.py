@@ -445,3 +445,32 @@ walk(node, d) AS (
 SELECT CAST(node AS BIGINT) AS entity_id, CAST(min(d) AS BIGINT) AS depth
 FROM walk GROUP BY 1
 """
+
+
+def sql_shortest_paths() -> str:
+    """Weighted single-source shortest paths (source = min entity id,
+    parallel edges collapse to min weight): recursive hop-bounded walk
+    with min aggregation — the exact twin of kg/graphstats.shortest_paths
+    (a shortest path uses at most n-1 edges, so the hop bound is safe)."""
+    return f"""WITH RECURSIVE eg AS MATERIALIZED (
+{sql_edges()}
+),
+wund AS MATERIALIZED (
+  SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+         CAST(min(weight) AS BIGINT) AS w
+  FROM eg WHERE subj_id <> obj_id GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v, w FROM wund UNION ALL SELECT b, a, w FROM wund
+),
+nn AS (SELECT count(DISTINCT u) AS n FROM sym),
+walk(node, dw, h) AS (
+  SELECT (SELECT min(a) FROM wund) AS node, CAST(0 AS BIGINT) AS dw, 0 AS h
+  UNION
+  SELECT s.v AS node, w.dw + s.w AS dw, w.h + 1 AS h
+  FROM walk w JOIN sym s ON s.u = w.node CROSS JOIN nn
+  WHERE w.h < nn.n
+)
+SELECT CAST(node AS BIGINT) AS entity_id, CAST(min(dw) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+"""

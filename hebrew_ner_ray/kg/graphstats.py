@@ -463,3 +463,125 @@ def bfs_depths(edges_ds, max_rounds: int = BFS_MAX_ROUNDS):
         raise RuntimeError(f"bfs_depths did not converge in {max_rounds} rounds")
 
     return known
+
+
+SSSP_MAX_ROUNDS = 128
+_SSSP_COLS = {"entity_id": "int64", "dist": "int64"}
+
+
+def shortest_paths(edges_ds, max_rounds: int = SSSP_MAX_ROUNDS):
+    """Single-source shortest paths by WEIGHT over the undirected entity
+    graph (source = min entity id; parallel edges collapse to their MIN
+    weight — pinned rule): synchronous Bellman-Ford relaxation iterated
+    to the FIXED POINT. Per round one exchange joins the tentative
+    distance table with the symmetric weighted edge list and min-reduces
+    candidates per node; convergence is the exact monotone invariant
+    (reached-node count AND distance sum both unchanged — distances only
+    ever decrease, so equality IS the fixed point). Raises past
+    ``max_rounds``. The SQL twin is the recursive hop-bounded walk with
+    min-aggregation."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _WE = {"a": "int64", "b": "int64", "w": "int64"}
+
+    def to_wund(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subj_id"].to_numpy(dtype=np.int64)
+        o = batch["obj_id"].to_numpy(dtype=np.int64)
+        w = batch["weight"].to_numpy(dtype=np.int64)
+        keep = s != o
+        out = pd.DataFrame({"a": np.minimum(s, o)[keep],
+                            "b": np.maximum(s, o)[keep], "w": w[keep]})
+        return (out.groupby(["a", "b"], as_index=False).agg(w=("w", "min"))
+                .astype(_WE))
+
+    def min_w(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_WE)
+        return (p.groupby(["a", "b"], as_index=False).agg(w=("w", "min"))
+                .astype(_WE))
+
+    und = bucketed_aggregate(
+        edges_ds.map_batches(to_wund, batch_format="pandas"),
+        ["a", "b"], min_w, coalesce=partitions_for()).materialize()
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        w = b["w"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a]),
+                             "w": np.concatenate([w, w])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas").materialize()
+    src = und.min("a")
+    if src is None:
+        return und.map_batches(
+            lambda b: pd.DataFrame({c: pd.Series(dtype=t)
+                                    for c, t in _SSSP_COLS.items()}),
+            batch_format="pandas")
+
+    import ray
+
+    dist = ray.data.from_pandas(pd.DataFrame(
+        {"entity_id": pd.array([src], dtype="int64"),
+         "dist": pd.array([0], dtype="int64")})).materialize()
+    reached, total = 1, 0
+
+    _ROW = {"k": "int64", "v": "int64", "w": "int64", "side": "int64"}
+    _CAND = {"entity_id": "int64", "dist": "int64"}
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["u"], "v": b["v"], "w": b["w"],
+                             "side": np.ones(len(b), dtype=np.int64)}).astype(_ROW)
+
+    def relax_round(dd):
+        def d_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({"k": b["entity_id"].to_numpy(dtype=np.int64),
+                                 "v": np.zeros(n, dtype=np.int64),
+                                 "w": b["dist"].to_numpy(dtype=np.int64),
+                                 "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+        def relax(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_CAND)
+            d = (p[p["side"] == 0][["k", "w"]]
+                 .rename(columns={"w": "dist"}))
+            e = p[p["side"] == 1]
+            m = e.merge(d, on="k")
+            cand = pd.DataFrame({"entity_id": m["v"].to_numpy(dtype=np.int64),
+                                 "dist": (m["w"] + m["dist"]).to_numpy(dtype=np.int64)})
+            keep = pd.concat(
+                [cand, d.rename(columns={"k": "entity_id"})], ignore_index=True)
+            return (keep.groupby("entity_id", as_index=False)
+                    .agg(dist=("dist", "min")).astype(_CAND))
+
+        u = sym.map_batches(edge_rows, batch_format="pandas").union(
+            dd.map_batches(d_rows, batch_format="pandas"))
+        # candidates from different partitions can name the same node →
+        # second tiny min-reduce keyed on the node
+        cands = bucketed_aggregate(u, ["k"], relax, coalesce=partitions_for())
+
+        def node_min(p: pd.DataFrame) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_CAND)
+            return (p.groupby("entity_id", as_index=False)
+                    .agg(dist=("dist", "min")).astype(_CAND))
+
+        return bucketed_aggregate(cands, ["entity_id"], node_min,
+                                  coalesce=partitions_for())
+
+    for _round in range(max_rounds):
+        new = relax_round(dist).materialize()
+        n_new = new.count()
+        s_new = int(new.sum("dist") or 0)
+        if n_new == reached and s_new == total:
+            break
+        dist, reached, total = new, n_new, s_new
+    else:
+        raise RuntimeError(
+            f"shortest_paths did not converge in {max_rounds} rounds")
+
+    return dist

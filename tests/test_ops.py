@@ -2167,3 +2167,22 @@ def test_kmeans_lloyd_arms_agree(ray_session):
     b = (kmeans_lloyd(SF, driver_limit=0).to_pandas()
          .sort_values("vec_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_shortest_paths_prefers_cheap_long_route(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import shortest_paths
+
+    # 1→2 direct costs 10; 1→3→4→2 costs 1+1+1=3; parallel 1-2 edge of
+    # weight 20 must collapse to the min (10) and then lose to the route
+    edges = pd.DataFrame({
+        "subj_id": pd.array([1, 1, 1, 3, 4], dtype="int64"),
+        "pred": ["e"] * 5,
+        "obj_id": pd.array([2, 2, 3, 4, 2], dtype="int64"),
+        "weight": pd.array([10, 20, 1, 1, 1], dtype="int64"),
+    })
+    out = (shortest_paths(ray.data.from_pandas(edges)).to_pandas()
+           .sort_values("entity_id").reset_index(drop=True))
+    assert out["entity_id"].tolist() == [1, 2, 3, 4]
+    assert out["dist"].tolist() == [0, 3, 1, 2]
