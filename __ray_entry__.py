@@ -88,6 +88,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return shortest_paths(build_edges(annotated(sf_dir, "triples"),
                                           sort=False))
 
+    def kg_random_walks(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import random_walks
+
+        return random_walks(build_edges(annotated(sf_dir, "triples"),
+                                        sort=False))
+
     def _half(parity: int):
         """Deterministic corpus split on stable_id(doc_id) parity — the
         stand-in for 'yesterday's corpus' vs 'today's delta'."""
@@ -207,6 +213,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": kg_components,
         "kg_bfs_depths": kg_bfs_depths,
         "kg_shortest_paths": kg_shortest_paths,
+        "kg_random_walks": kg_random_walks,
         "kg_nodes_incremental": kg_nodes_incremental,
         "kg_edges_incremental": kg_edges_incremental,
         "kg_span_invariant": kg_span_invariant,
@@ -242,6 +249,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_components": o.sql_components(),
         "kg_bfs_depths": o.sql_bfs_depths(),
         "kg_shortest_paths": o.sql_shortest_paths(),
+        "kg_random_walks": o.sql_random_walks(),
         # incremental half-builds must reproduce the one-shot oracles
         "kg_nodes_incremental": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),

@@ -474,3 +474,45 @@ walk(node, dw, h) AS (
 SELECT CAST(node AS BIGINT) AS entity_id, CAST(min(dw) AS BIGINT) AS dist
 FROM walk GROUP BY 1
 """
+
+
+def sql_random_walks(walk_len: int = 4) -> str:
+    """Deterministic random walks: at step s on node u a walk started at
+    st moves to sorted-neighbor index stable_id('walk|st|s|u') % deg(u) —
+    unrolled per step over a ranked adjacency CTE."""
+    from hebrew_ner_ray.kg.ids import sql_stable_id
+
+    head = f"""WITH eg AS MATERIALIZED (
+{sql_edges()}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+adj AS MATERIALIZED (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+         count(*) OVER (PARTITION BY u) AS deg
+  FROM (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)
+),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT u AS start_id, u AS cur FROM adj
+)"""
+    ctes = [head]
+    for s in range(1, walk_len + 1):
+        pick = sql_stable_id(
+            f"'walk|' || CAST(w.start_id AS VARCHAR) || '|{s}|' "
+            f"|| CAST(w.cur AS VARCHAR)")
+        ctes.append(f"""w{s} AS MATERIALIZED (
+  SELECT w.start_id, a.v AS cur
+  FROM w{s - 1} w JOIN adj a ON a.u = w.cur
+   AND a.rnk = {pick} % a.deg
+)""")
+    selects = ["SELECT CAST(start_id AS BIGINT) AS start_id, "
+               "CAST(0 AS BIGINT) AS step, "
+               "CAST(start_id AS BIGINT) AS node_id FROM w0"]
+    for s in range(1, walk_len + 1):
+        selects.append(f"SELECT CAST(start_id AS BIGINT) AS start_id, "
+                       f"CAST({s} AS BIGINT) AS step, "
+                       f"CAST(cur AS BIGINT) AS node_id FROM w{s}")
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

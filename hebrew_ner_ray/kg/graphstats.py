@@ -585,3 +585,108 @@ def shortest_paths(edges_ds, max_rounds: int = SSSP_MAX_ROUNDS):
             f"shortest_paths did not converge in {max_rounds} rounds")
 
     return dist
+
+
+WALK_LEN = 4
+_WALK_COLS = {"start_id": "int64", "step": "int64", "node_id": "int64"}
+
+
+def random_walks(edges_ds, walk_len: int = WALK_LEN):
+    """Deterministic 'random' walks from EVERY node — the walk-corpus
+    generator behind node2vec/DeepWalk-style graph embeddings, made
+    exactly reproducible (and therefore SQL-checkable) by drawing each
+    step from the shared md5 contract instead of an RNG: at step s on
+    node u, the walk moves to sorted-neighbor index
+    ``stable_id('walk|start|s|u') % degree(u)``. Any task on any node
+    derives the same walk — the same content-addressing argument as
+    entity ids. Per step ONE exchange joins the walk frontier with the
+    adjacency (grouped per complete node key, neighbor pick vectorized
+    per group); emits (start_id, step, node_id) rows, step 0 = start.
+    Dead-end-free by construction (undirected symmetric adjacency)."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    und = _distinct_undirected(edges_ds).materialize()
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas").materialize()
+
+    def start_rows(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b["a"], b["b"]]).drop_duplicates()
+        return pd.DataFrame({"start_id": u.to_numpy(dtype=np.int64)})
+
+    def dedup_nodes(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty({"start_id": "int64"})
+        return p.drop_duplicates().astype({"start_id": "int64"})
+
+    nodes = bucketed_aggregate(
+        und.map_batches(start_rows, batch_format="pandas"),
+        ["start_id"], dedup_nodes, coalesce=partitions_for()).materialize()
+
+    frontier = nodes.map_batches(
+        lambda b: pd.DataFrame({"start_id": b["start_id"],
+                                "cur": b["start_id"]}),
+        batch_format="pandas").materialize()
+
+    out = nodes.map_batches(
+        lambda b: pd.DataFrame({"start_id": b["start_id"],
+                                "step": np.zeros(len(b), dtype=np.int64),
+                                "node_id": b["start_id"]}),
+        batch_format="pandas")
+
+    _ROW = {"k": "int64", "start_id": "int64", "v": "int64", "side": "int64"}
+    _F = {"start_id": "int64", "cur": "int64"}
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({"k": b["u"], "start_id": np.zeros(n, dtype=np.int64),
+                             "v": b["v"],
+                             "side": np.ones(n, dtype=np.int64)}).astype(_ROW)
+
+    for step in range(1, walk_len + 1):
+        def fr_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({"k": b["cur"].to_numpy(dtype=np.int64),
+                                 "start_id": b["start_id"].to_numpy(dtype=np.int64),
+                                 "v": np.zeros(n, dtype=np.int64),
+                                 "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+        def advance(p: pd.DataFrame, s=step) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_F)
+            rows = []
+            for node, g in p.groupby("k", sort=False):
+                nbrs = np.sort(g.loc[g["side"] == 1, "v"].to_numpy(dtype=np.int64))
+                walks = g.loc[g["side"] == 0, "start_id"]
+                if len(nbrs) == 0 or walks.empty:
+                    continue
+                starts = walks.to_numpy(dtype=np.int64)
+                idx = stable_ids([f"walk|{st}|{s}|{node}" for st in starts]
+                                 ) % len(nbrs)
+                rows.append(pd.DataFrame({"start_id": starts,
+                                          "cur": nbrs[idx]}))
+            if not rows:
+                return typed_empty(_F)
+            return pd.concat(rows, ignore_index=True).astype(_F)
+
+        u = sym.map_batches(edge_rows, batch_format="pandas").union(
+            frontier.map_batches(fr_rows, batch_format="pandas"))
+        frontier = bucketed_aggregate(u, ["k"], advance,
+                                      coalesce=partitions_for()).materialize()
+        out = out.union(frontier.map_batches(
+            lambda b, s=step: pd.DataFrame({
+                "start_id": b["start_id"],
+                "step": np.full(len(b), s, dtype=np.int64),
+                "node_id": b["cur"]}),
+            batch_format="pandas"))
+
+    return out.map_batches(lambda b: b[list(_WALK_COLS)].astype(_WALK_COLS),
+                           batch_format="pandas")

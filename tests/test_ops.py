@@ -2186,3 +2186,30 @@ def test_shortest_paths_prefers_cheap_long_route(ray_session):
            .sort_values("entity_id").reset_index(drop=True))
     assert out["entity_id"].tolist() == [1, 2, 3, 4]
     assert out["dist"].tolist() == [0, 3, 1, 2]
+
+
+def test_random_walks_deterministic_and_adjacent(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import random_walks
+
+    edges = pd.DataFrame({
+        "subj_id": pd.array([1, 2, 3, 1], dtype="int64"),
+        "pred": ["e"] * 4,
+        "obj_id": pd.array([2, 3, 4, 3], dtype="int64"),
+        "weight": pd.array([1] * 4, dtype="int64"),
+    })
+    a = (random_walks(ray.data.from_pandas(edges)).to_pandas()
+         .sort_values(["start_id", "step"]).reset_index(drop=True))
+    b = (random_walks(ray.data.from_pandas(edges)).to_pandas()
+         .sort_values(["start_id", "step"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)  # content-addressed ⇒ identical
+    # every walk: starts at its start node, length walk_len+1, and each
+    # hop is a real edge
+    und = {(1, 2), (2, 3), (3, 4), (1, 3)}
+    und |= {(y, x) for x, y in und}
+    for st, w in a.groupby("start_id"):
+        w = w.sort_values("step")
+        assert w["node_id"].iloc[0] == st and len(w) == 5
+        path = w["node_id"].tolist()
+        assert all((x, y) in und for x, y in zip(path[:-1], path[1:]))
