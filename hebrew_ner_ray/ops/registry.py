@@ -88,6 +88,7 @@ def ops_queries():
         "sim_ann_topk_filtered": _wrap(similarity.ann_topk_filtered),
         "events_daily_trend": _wrap(windows.events_daily_trend),
         "events_throttled": _wrap(windows.events_throttled),
+        "events_late_arrivals": _wrap(windows.events_late_arrivals),
         "sim_embedding_gram": _wrap(similarity.embedding_gram),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
@@ -1597,6 +1598,26 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        round(sc, 6) AS score
 FROM s
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}
+""",
+        # watermark semantics: late iff event time trails the running max
+        # event time over PRIOR arrivals (event_id order) by > lateness
+        "events_late_arrivals": f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+w AS (
+  SELECT event_type, ts_us,
+         max(ts_us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prior
+  FROM e
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN prior IS NOT NULL
+                      AND ts_us + {windows.LATENESS_US} < prior
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
 """,
         # LAG-based throttle: first of a same-instant burst survives
         "events_throttled": f"""

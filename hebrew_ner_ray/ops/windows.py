@@ -1246,3 +1246,102 @@ def events_throttled(sf_dir: str, gap_us: int = THROTTLE_US):
 
     return grouped_exchange(ds.map_batches(project, batch_format="pandas"),
                             ["user_id", "event_type"], throttle)
+
+
+LATENESS_US = 3_600 * 1_000_000  # allowed lateness: 1 h behind the watermark
+_LATE_COLS = {"event_type": "object", "n_late": "int64", "n_events": "int64"}
+
+
+def events_late_arrivals(sf_dir: str, lateness_us: int = LATENESS_US):
+    """Watermark / late-data accounting — the stream-processing semantics
+    check: an event is LATE if its event time trails the watermark (the
+    max event time over all PRIOR arrivals, arrival order = event_id) by
+    more than the allowed lateness. The running max over arrival order
+    is the ordered prefix-MAX — the same two-phase carry as the prefix
+    sums (max is associative): range-partition on event_id (monotone
+    buckets), per-partition max partials → driver prefix-max of P
+    scalars → per-partition exclusive running max with the carry.
+    Output: late/total counts per event type."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "ts"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "event_type": b["event_type"].astype(object),
+            "ts_us": _epoch_us(b["ts"]).to_numpy(),
+        })
+
+    proj = ds.map_batches(project, batch_format="pandas").materialize()
+    if proj.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _LATE_COLS.items()}))
+    lo, hi = int(proj.min("event_id")), int(proj.max("event_id"))
+    n_parts = partitions_for()
+    span = max(1, (hi - lo + 1 + n_parts - 1) // n_parts)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["event_id"].to_numpy(dtype=np.int64) - lo) // span
+        return b
+
+    parted = proj.map_batches(add_part, batch_format="pandas").materialize()
+
+    _T = {"part": "int64", "mx": "int64"}
+
+    def max_totals(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_T)
+        return (p.groupby("part", as_index=False).agg(mx=("ts_us", "max"))
+                .astype(_T))
+
+    tot = (bucketed_aggregate(parted, ["part"], max_totals, coalesce=n_parts)
+           .to_pandas().sort_values("part").reset_index(drop=True))
+    mx = tot["mx"].to_numpy(dtype=np.int64)
+    carry_vals = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(mx)[:-1]])
+    carry_map = dict(zip(tot["part"].to_numpy(dtype=np.int64),
+                         carry_vals.astype(np.int64)))
+
+    def flag(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_LATE_COLS)
+        frames = []
+        for part, g in p.groupby("part", sort=False):
+            g = g.sort_values("event_id", kind="mergesort")
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            run = np.maximum.accumulate(ts)
+            prior = np.concatenate(
+                [[int(carry_map.get(int(part), np.iinfo(np.int64).min))],
+                 np.maximum(run[:-1],
+                            int(carry_map.get(int(part),
+                                              np.iinfo(np.int64).min)))])
+            late = (prior != np.iinfo(np.int64).min) & (ts + lateness_us < prior)
+            frames.append(pd.DataFrame({"event_type": g["event_type"],
+                                        "late": late}))
+        f = pd.concat(frames, ignore_index=True)
+        return (f.groupby("event_type", as_index=False)
+                .agg(n_late=("late", "sum"), n_events=("late", "size"))
+                .astype(_LATE_COLS))
+
+    partials = bucketed_aggregate(parted, ["part"], flag, coalesce=n_parts)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_LATE_COLS)
+        return (g.groupby("event_type", as_index=False)
+                .agg(n_late=("n_late", "sum"), n_events=("n_events", "sum"))
+                .astype(_LATE_COLS))
+
+    return small_key_aggregate(partials, final)

@@ -2146,7 +2146,8 @@ def test_new_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet')")
     for name in ["events_concurrency", "events_daily_unique",
                  "events_value_histogram", "events_daily_trend",
-                 "events_throttled", "events_global_concurrency"]:
+                 "events_throttled", "events_global_concurrency",
+                 "events_late_arrivals"]:
         got = qs[name](str(tmp_path))
         got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
         want = con.execute(sqls[name]).df()
@@ -2213,3 +2214,26 @@ def test_random_walks_deterministic_and_adjacent(ray_session):
         assert w["node_id"].iloc[0] == st and len(w) == 5
         path = w["node_id"].tolist()
         assert all((x, y) in und for x, y in zip(path[:-1], path[1:]))
+
+
+def test_late_arrivals_watermark_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_late_arrivals
+
+    base = pd.Timestamp("2024-01-01")
+    # arrival order (event_id): t0+3h, then t0 (3h behind watermark →
+    # LATE at 1h allowed), then t0+2h30 (30min behind → on time), and
+    # the very first arrival can never be late
+    ts = [base + pd.Timedelta(hours=3), base,
+          base + pd.Timedelta(hours=2, minutes=30)]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "event_type": ["a", "a", "a"],
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_late_arrivals(str(tmp_path)).to_pandas()
+    assert out["n_events"].iloc[0] == 3
+    assert out["n_late"].iloc[0] == 1
