@@ -122,3 +122,66 @@ def curated_docs(sf_dir: str, broadcast_loser_limit: int = BROADCAST_LOSER_LIMIT
 
     return bucketed_aggregate(tagged_c.union(tagged_l), ["doc_id"], anti,
                               coalesce=partitions_for())
+
+
+ENT_MIN_PPM = 2_500_000   # drop low-entropy (degenerate/repetitive) docs
+DUP_MAX_PPM = 50_000      # drop docs whose trigram stream is >5% repeats
+
+_CQ_COLS = {"doc_id": "int64", "n_tokens": "int64", "entropy_ppm": "int64",
+            "dup_trigram_ppm": "int64"}
+
+
+def curated_docs_quality(sf_dir: str):
+    """Quality-gated curation: the flagship curation set further filtered
+    by the session's model-free quality signals — unigram entropy ≥
+    ENT_MIN_PPM and trigram-repeat share ≤ DUP_MAX_PPM (the Gopher-rule
+    composition). Three independent per-doc relations (curation result,
+    entropy, repetition) meet in ONE side-marked exchange on doc_id;
+    the thresholds apply in-partition. Shows the signals composing into
+    the ingest pipeline rather than living as standalone reports."""
+    import ray.data  # noqa: F401
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+    from hebrew_ner_ray.ops.textstats import text_entropy, text_repetition
+
+    import numpy as np
+    import pandas as pd
+
+    _ROW = {"doc_id": "int64", "a": "int64", "b": "int64", "side": "int64"}
+
+    def mark(side, col_a, col_b=None):
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "a": b[col_a].to_numpy(dtype=np.int64),
+                "b": (b[col_b].to_numpy(dtype=np.int64) if col_b
+                      else np.zeros(n, dtype=np.int64)),
+                "side": np.full(n, side, dtype=np.int64)}).astype(_ROW)
+        return run
+
+    cur = curated_docs(sf_dir).map_batches(mark(0, "n_tokens"),
+                                           batch_format="pandas")
+    ent = text_entropy(sf_dir).map_batches(mark(1, "entropy_ppm"),
+                                           batch_format="pandas")
+    rep = text_repetition(sf_dir).map_batches(mark(2, "dup_trigram_ppm"),
+                                              batch_format="pandas")
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CQ_COLS)
+        c = (p[p["side"] == 0][["doc_id", "a"]]
+             .rename(columns={"a": "n_tokens"}))
+        e = (p[p["side"] == 1][["doc_id", "a"]]
+             .rename(columns={"a": "entropy_ppm"}))
+        r = (p[p["side"] == 2][["doc_id", "a"]]
+             .rename(columns={"a": "dup_trigram_ppm"}))
+        m = c.merge(e, on="doc_id").merge(r, on="doc_id")
+        m = m[(m["entropy_ppm"] >= ENT_MIN_PPM)
+              & (m["dup_trigram_ppm"] <= DUP_MAX_PPM)]
+        if m.empty:
+            return typed_empty(_CQ_COLS)
+        return m[list(_CQ_COLS)].astype(_CQ_COLS)
+
+    return bucketed_aggregate(cur.union(ent).union(rep), ["doc_id"], join,
+                              coalesce=partitions_for())

@@ -63,6 +63,11 @@ def ops_queries():
 
         return curated_docs(sf_dir)
 
+    def _curation_quality(sf_dir: str):
+        from hebrew_ner_ray.ops.curation import curated_docs_quality
+
+        return curated_docs_quality(sf_dir)
+
     return {
         "text_token_count": _docs_map(textstats.token_count_batch),
         "text_lang_id": _docs_map(textstats.lang_id_batch),
@@ -156,6 +161,7 @@ def ops_queries():
         "media_feature_norms": _wrap(multimodal.media_feature_norms),
         "media_feature_components": _wrap(multimodal.media_feature_components),
         "corpus_curation": _curation,
+        "corpus_curation_quality": _curation_quality,
     }
 
 
@@ -1692,6 +1698,45 @@ FROM r WHERE rn = 1
 """,
     }
     oracles["corpus_curation"] = _sql_curation()
+    from hebrew_ner_ray.ops.curation import DUP_MAX_PPM as DUP_MAX_PPM_
+    from hebrew_ner_ray.ops.curation import ENT_MIN_PPM as ENT_MIN_PPM_
+    oracles["corpus_curation_quality"] = rf"""
+WITH cur AS MATERIALIZED ({_sql_curation()}),
+tk2 AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+ec AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+       FROM tk2 GROUP BY 1, 2),
+en AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ec GROUP BY 1),
+ent AS (
+  SELECT ec.doc_id,
+         CAST(sum(CAST(floor(ec.c * ln(en.n * 1.0 / ec.c) * 1000000.0 / en.n)
+                       AS BIGINT)) AS BIGINT) AS entropy_ppm
+  FROM ec JOIN en USING (doc_id) GROUP BY 1
+),
+tk3 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+b3 AS (SELECT doc_id, CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3 FROM tk3),
+tri3 AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS k
+  FROM tk3, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3
+),
+d33 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM tri3 GROUP BY 1),
+rep AS (
+  SELECT b3.doc_id,
+         CAST(CASE WHEN b3.n3 > 0
+                   THEN floor((b3.n3 - coalesce(d33.d, 0)) * 1000000.0 / b3.n3)
+                   ELSE 0 END AS BIGINT) AS dup_trigram_ppm
+  FROM b3 LEFT JOIN d33 USING (doc_id)
+)
+SELECT cur.doc_id, cur.n_tokens, ent.entropy_ppm, rep.dup_trigram_ppm
+FROM cur JOIN ent USING (doc_id) JOIN rep USING (doc_id)
+WHERE ent.entropy_ppm >= {ENT_MIN_PPM_}
+  AND rep.dup_trigram_ppm <= {DUP_MAX_PPM_}
+"""
     media_w = sql_stable_id("media_ref")
     media_h = sql_stable_id("media_ref || '#h'")
     media_d = sql_stable_id("media_ref || '#d'")

@@ -2237,3 +2237,20 @@ def test_late_arrivals_watermark_semantics(ray_session, tmp_path):
     out = events_late_arrivals(str(tmp_path)).to_pandas()
     assert out["n_events"].iloc[0] == 3
     assert out["n_late"].iloc[0] == 1
+
+
+def test_curation_quality_is_gated_subset(ray_session):
+    from hebrew_ner_ray.ops.curation import (
+        DUP_MAX_PPM,
+        ENT_MIN_PPM,
+        curated_docs,
+        curated_docs_quality,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    base = curated_docs(SF).to_pandas()
+    gated = curated_docs_quality(SF).to_pandas()
+    assert 0 < len(gated) < len(base)  # thresholds actually bite
+    assert set(gated["doc_id"]) <= set(base["doc_id"])
+    assert (gated["entropy_ppm"] >= ENT_MIN_PPM).all()
+    assert (gated["dup_trigram_ppm"] <= DUP_MAX_PPM).all()
