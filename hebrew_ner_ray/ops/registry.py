@@ -126,6 +126,7 @@ def ops_queries():
         "volume_shipping": _wrap(relational.volume_shipping),
         "dq_constraints": _wrap(relational.dq_constraints),
         "idle_rich_customers": _wrap(relational.idle_rich_customers),
+        "profile_orders": _wrap(relational.profile_table),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -294,6 +295,40 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
        CAST(d2 AS BIGINT) AS dist2
 FROM a{last}
 """)
+
+
+def _sql_profile_orders() -> str:
+    """Column-profile twin for the orders table: per column the same
+    integer surrogate (ints as-is, doubles→cents, timestamps→µs,
+    strings→stable_id), KMV over md5 of the surrogate string, exact
+    integer min/max."""
+    from hebrew_ner_ray.ops.relational import PROFILE_KMV_K as K
+
+    space = 1 << 60
+    surr = {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "o_custkey",
+        "o_orderstatus": sql_stable_id("o_orderstatus"),
+        "o_totalprice": "CAST(floor(o_totalprice * 100) AS BIGINT)",
+        "o_orderdate": "epoch_us(o_orderdate)",
+        "o_orderpriority": sql_stable_id("o_orderpriority"),
+    }
+    blocks = []
+    for c, e in surr.items():
+        h = sql_stable_id(f"CAST(({e}) AS VARCHAR)")
+        blocks.append(f"""SELECT '{c}' AS "column",
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+  (SELECT CAST(count(*) - count({c}) AS BIGINT) FROM orders) AS n_null,
+  (SELECT CASE WHEN count(*) < {K} THEN CAST(count(*) AS BIGINT)
+               ELSE CAST(CAST({K - 1} AS HUGEINT) * {space} // max(h)
+                         AS BIGINT) END
+   FROM (SELECT DISTINCT {h} AS h FROM orders
+         WHERE {c} IS NOT NULL ORDER BY h LIMIT {K})) AS n_distinct_kmv,
+  (SELECT CAST(coalesce(min({e}), 0) AS BIGINT) FROM orders
+   WHERE {c} IS NOT NULL) AS min_v,
+  (SELECT CAST(coalesce(max({e}), 0) AS BIGINT) FROM orders
+   WHERE {c} IS NOT NULL) AS max_v""")
+    return "\nUNION ALL\n".join(blocks)
 
 
 def _sql_clusters() -> str:
@@ -1273,6 +1308,7 @@ SELECT CAST(p.q AS BIGINT) AS q_pct, r.v AS value_cents
 FROM (VALUES {", ".join(f"({p})" for p in relational.QUANT_PCTS)}) p(q)
 JOIN r ON r.rn = (r.n * p.q + 99) // 100
 """,
+        "profile_orders": _sql_profile_orders(),
         # Q22 shape; above-average test as the exact integer
         # cross-multiply cents·N > Σcents (no float average anywhere)
         "idle_rich_customers": f"""

@@ -1864,3 +1864,82 @@ def idle_rich_customers(sf_dir: str):
         return out[list(_Q22_COLS)].astype(_Q22_COLS)
 
     return small_key_aggregate(parts, final)
+
+
+_PROFILE_COLS = {"column": "object", "n_rows": "int64", "n_null": "int64",
+                 "n_distinct_kmv": "int64", "min_v": "int64", "max_v": "int64"}
+PROFILE_KMV_K = 256
+
+
+def profile_table(sf_dir: str, table: str = "orders"):
+    """Column profiler — the data-engine introspection every ingest runs
+    first: per column (row count, nulls, KMV distinct estimate, min/max
+    as integer units). One streaming pass; each batch folds to a
+    fixed-size per-column partial (counts + k smallest md5 hashes +
+    extrema), merged associatively in one small task — profile size is
+    columns × k, independent of table size.
+
+    Numeric columns report exact integer min/max (floats in cents);
+    string columns report min/max of their stable_id hash (a
+    deterministic, SQL-reproducible ordering surrogate). The KMV
+    estimate is floor((k-1) · 2^60 / kth_min) beyond k values, exact
+    count below (the text_distinct_kmv contract)."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    _HASH_SPACE = 1 << 60
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path)
+    cols = [f.name for f in schema]
+
+    _P = {"column": "object", "n_rows": "int64", "n_null": "int64",
+          "hashes": "object", "min_v": "int64", "max_v": "int64"}
+
+    def col_ints(s: pd.Series) -> np.ndarray:
+        if s.dtype.kind in "iu":
+            return s.dropna().to_numpy(dtype=np.int64)
+        if s.dtype.kind == "f":
+            return np.floor(s.dropna().to_numpy() * 100).astype(np.int64)
+        if s.dtype.kind == "M":
+            return s.dropna().astype("datetime64[us]").astype("int64").to_numpy()
+        return stable_ids([str(x) for x in s.dropna()])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = b[c]
+            v = col_ints(s)
+            # KMV over the INTEGER SURROGATE (never the raw rendering —
+            # float→string repr is not portable across engines)
+            h = np.unique(stable_ids([str(int(x)) for x in v]))[:PROFILE_KMV_K]
+            rows.append((c, np.int64(len(s)), np.int64(s.isna().sum()),
+                         h.astype(np.int64),
+                         np.int64(v.min()) if len(v) else np.int64(0),
+                         np.int64(v.max()) if len(v) else np.int64(0)))
+        return pd.DataFrame(rows, columns=list(_P))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PROFILE_COLS)
+        rows = []
+        for c, grp in g.groupby("column", sort=True):
+            h = np.unique(np.concatenate(list(grp["hashes"])))[:PROFILE_KMV_K]
+            if len(h) < PROFILE_KMV_K:
+                est = np.int64(len(h))
+            else:
+                est = np.int64((PROFILE_KMV_K - 1) * _HASH_SPACE
+                               // int(h[PROFILE_KMV_K - 1]))
+            nn = grp["n_rows"].sum() - grp["n_null"].sum()
+            rows.append((c, np.int64(grp["n_rows"].sum()),
+                         np.int64(grp["n_null"].sum()), est,
+                         np.int64(grp.loc[grp["n_rows"] > grp["n_null"],
+                                          "min_v"].min()) if nn else np.int64(0),
+                         np.int64(grp.loc[grp["n_rows"] > grp["n_null"],
+                                          "max_v"].max()) if nn else np.int64(0)))
+        return pd.DataFrame(rows, columns=list(_PROFILE_COLS)).astype(_PROFILE_COLS)
+
+    ds = ray.data.read_parquet(path)
+    return small_key_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), final)

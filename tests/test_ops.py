@@ -2254,3 +2254,23 @@ def test_curation_quality_is_gated_subset(ray_session):
     assert set(gated["doc_id"]) <= set(base["doc_id"])
     assert (gated["entropy_ppm"] >= ENT_MIN_PPM).all()
     assert (gated["dup_trigram_ppm"] <= DUP_MAX_PPM).all()
+
+
+def test_profile_table_null_and_distinct_accounting(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import profile_table
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 2, None], type=pa.int64()),
+        "o_totalprice": pa.array([1.5, 2.5, 2.5, 3.0], type=pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = (profile_table(str(tmp_path), table="orders").to_pandas()
+           .set_index("column"))
+    k = out.loc["o_orderkey"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct_kmv"]) == (4, 1, 2)
+    assert (k["min_v"], k["max_v"]) == (1, 2)
+    p = out.loc["o_totalprice"]
+    assert (p["n_null"], p["n_distinct_kmv"]) == (0, 3)
+    assert (p["min_v"], p["max_v"]) == (150, 300)  # cents surrogate
