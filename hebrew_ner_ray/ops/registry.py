@@ -94,6 +94,7 @@ def ops_queries():
         "events_daily_trend": _wrap(windows.events_daily_trend),
         "events_throttled": _wrap(windows.events_throttled),
         "events_late_arrivals": _wrap(windows.events_late_arrivals),
+        "events_zorder": _wrap(windows.events_zorder),
         "sim_embedding_gram": _wrap(similarity.embedding_gram),
         "events_tumbling": _wrap(windows.events_tumbling),
         "events_hopping": _wrap(windows.events_hopping),
@@ -1640,6 +1641,24 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        round(sc, 6) AS score
 FROM s
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) <= {TOPK}
+""",
+        # Morton interleave as generated bit algebra (2^(2k) / 2^(2k+1)
+        # planes; both sides positive so // == >> exactly)
+        "events_zorder": f"""
+WITH c AS (
+  SELECT event_id, user_id % {1 << windows.ZORDER_BITS} AS x,
+         (epoch_us(ts) // {windows.WINDOW_US})
+           % {1 << windows.ZORDER_BITS} AS y
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(x AS BIGINT) AS x,
+       CAST(y AS BIGINT) AS y,
+       CAST({" + ".join(f"((x // {1 << k}) % 2) * {1 << (2 * k)}"
+                        for k in range(windows.ZORDER_BITS))}
+            + {" + ".join(f"((y // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+                          for k in range(windows.ZORDER_BITS))}
+            AS BIGINT) AS zcode
+FROM c
 """,
         # watermark semantics: late iff event time trails the running max
         # event time over PRIOR arrivals (event_id order) by > lateness

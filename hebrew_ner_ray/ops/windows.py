@@ -1345,3 +1345,36 @@ def events_late_arrivals(sf_dir: str, lateness_us: int = LATENESS_US):
                 .astype(_LATE_COLS))
 
     return small_key_aggregate(partials, final)
+
+
+ZORDER_BITS = 16
+_Z_COLS = {"event_id": "int64", "x": "int64", "y": "int64", "zcode": "int64"}
+
+
+def events_zorder(sf_dir: str, bits: int = ZORDER_BITS):
+    """Z-order (Morton) locality codes — the lakehouse layout trick:
+    interleaving the bits of two clustering dimensions (here user_id and
+    event hour) gives a single sort key under which range scans on
+    EITHER dimension touch O(√P) of the files instead of all of them.
+    Pure vectorized map (shift/mask per bit plane); the code itself is
+    the deliverable — `write_parquet` after a zcode sort yields the
+    multi-dimensionally-prunable layout. SQL twin states the identical
+    bit algebra with arithmetic shifts."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def code(b: pd.DataFrame) -> pd.DataFrame:
+        mask = (1 << bits) - 1
+        x = b["user_id"].to_numpy(dtype=np.int64) & mask
+        y = (_epoch_us(b["ts"]).to_numpy() // WINDOW_US) & mask
+        z = np.zeros(len(b), dtype=np.int64)
+        for k in range(bits):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "x": x, "y": y, "zcode": z}).astype(_Z_COLS)
+
+    return ds.map_batches(code, batch_format="pandas")

@@ -2274,3 +2274,24 @@ def test_profile_table_null_and_distinct_accounting(ray_session, tmp_path):
     p = out.loc["o_totalprice"]
     assert (p["n_null"], p["n_distinct_kmv"]) == (0, 3)
     assert (p["min_v"], p["max_v"]) == (150, 300)  # cents surrogate
+
+
+def test_zorder_interleave_known_values(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_zorder
+
+    base = pd.Timestamp("1970-01-01")
+    # x=3 (0b11), hour-bucket y=5 (0b101) → z interleaves to
+    # y2x2 y1x1 y0x0 = 1 0 0 1 1 1 = 0b100111 = 39
+    tbl = pa.table({
+        "event_id": pa.array([1], type=pa.int64()),
+        "user_id": pa.array([3], type=pa.int64()),
+        "ts": pa.array([base + pd.Timedelta(hours=5)],
+                       type=pa.timestamp("us")),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_zorder(str(tmp_path)).to_pandas()
+    assert (out["x"].iloc[0], out["y"].iloc[0]) == (3, 5)
+    assert out["zcode"].iloc[0] == 0b100111
