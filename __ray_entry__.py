@@ -94,6 +94,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return random_walks(build_edges(annotated(sf_dir, "triples"),
                                         sort=False))
 
+    def kg_weighted_walks(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import weighted_random_walks
+
+        return weighted_random_walks(build_edges(annotated(sf_dir, "triples"),
+                                                 sort=False))
+
     def _half(parity: int):
         """Deterministic corpus split on stable_id(doc_id) parity — the
         stand-in for 'yesterday's corpus' vs 'today's delta'."""
@@ -214,6 +220,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_depths": kg_bfs_depths,
         "kg_shortest_paths": kg_shortest_paths,
         "kg_random_walks": kg_random_walks,
+        "kg_weighted_walks": kg_weighted_walks,
         "kg_nodes_incremental": kg_nodes_incremental,
         "kg_edges_incremental": kg_edges_incremental,
         "kg_span_invariant": kg_span_invariant,
@@ -250,6 +257,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_bfs_depths": o.sql_bfs_depths(),
         "kg_shortest_paths": o.sql_shortest_paths(),
         "kg_random_walks": o.sql_random_walks(),
+        "kg_weighted_walks": o.sql_weighted_walks(),
         # incremental half-builds must reproduce the one-shot oracles
         "kg_nodes_incremental": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),

@@ -516,3 +516,48 @@ w0 AS MATERIALIZED (
                        f"CAST({s} AS BIGINT) AS step, "
                        f"CAST(cur AS BIGINT) AS node_id FROM w{s}")
     return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def sql_weighted_walks(walk_len: int = 4) -> str:
+    """Weight-biased deterministic walks: draw = stable_id % Σw(u), the
+    step lands on the first id-sorted neighbor whose cumulative weight
+    exceeds the draw (cum − w ≤ draw < cum)."""
+    from hebrew_ner_ray.kg.ids import sql_stable_id
+
+    head = f"""WITH eg AS MATERIALIZED (
+{sql_edges()}
+),
+wund AS MATERIALIZED (
+  SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+         CAST(min(weight) AS BIGINT) AS w
+  FROM eg WHERE subj_id <> obj_id GROUP BY 1, 2
+),
+adjw AS MATERIALIZED (
+  SELECT u, v, w,
+         sum(w) OVER (PARTITION BY u ORDER BY v) AS cum,
+         sum(w) OVER (PARTITION BY u) AS tot
+  FROM (SELECT a AS u, b AS v, w FROM wund
+        UNION ALL SELECT b, a, w FROM wund)
+),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT u AS start_id, u AS cur FROM adjw
+)"""
+    ctes = [head]
+    for s in range(1, walk_len + 1):
+        draw = sql_stable_id(
+            f"'wwalk|' || CAST(w.start_id AS VARCHAR) || '|{s}|' "
+            f"|| CAST(w.cur AS VARCHAR)")
+        ctes.append(f"""w{s} AS MATERIALIZED (
+  SELECT w.start_id, a.v AS cur
+  FROM w{s - 1} w JOIN adjw a ON a.u = w.cur
+  WHERE ({draw}) % a.tot < a.cum
+    AND ({draw}) % a.tot >= a.cum - a.w
+)""")
+    selects = ["SELECT CAST(start_id AS BIGINT) AS start_id, "
+               "CAST(0 AS BIGINT) AS step, "
+               "CAST(start_id AS BIGINT) AS node_id FROM w0"]
+    for s in range(1, walk_len + 1):
+        selects.append(f"SELECT CAST(start_id AS BIGINT) AS start_id, "
+                       f"CAST({s} AS BIGINT) AS step, "
+                       f"CAST(cur AS BIGINT) AS node_id FROM w{s}")
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

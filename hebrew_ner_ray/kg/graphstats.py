@@ -690,3 +690,129 @@ def random_walks(edges_ds, walk_len: int = WALK_LEN):
 
     return out.map_batches(lambda b: b[list(_WALK_COLS)].astype(_WALK_COLS),
                            batch_format="pandas")
+
+
+def weighted_random_walks(edges_ds, walk_len: int = WALK_LEN):
+    """Weight-biased deterministic walks: like :func:`random_walks` but
+    the step draw is proportional to edge WEIGHT — pick =
+    stable_id('wwalk|start|step|node') % Σw over the node's sorted
+    neighbors, resolved by searchsorted on the cumulative weights
+    (exactly the weighted-sampling kernel, derandomized through the md5
+    contract so the SQL twin can replay it: the oracle ranks neighbors
+    by id, prefix-sums their weights, and picks the first neighbor whose
+    running total exceeds the draw). Parallel edges collapse to MIN
+    weight (the shortest_paths rule)."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _WE = {"a": "int64", "b": "int64", "w": "int64"}
+
+    def to_wund(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subj_id"].to_numpy(dtype=np.int64)
+        o = batch["obj_id"].to_numpy(dtype=np.int64)
+        w = batch["weight"].to_numpy(dtype=np.int64)
+        keep = s != o
+        out = pd.DataFrame({"a": np.minimum(s, o)[keep],
+                            "b": np.maximum(s, o)[keep], "w": w[keep]})
+        return (out.groupby(["a", "b"], as_index=False).agg(w=("w", "min"))
+                .astype(_WE))
+
+    def min_w(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_WE)
+        return (p.groupby(["a", "b"], as_index=False).agg(w=("w", "min"))
+                .astype(_WE))
+
+    und = bucketed_aggregate(
+        edges_ds.map_batches(to_wund, batch_format="pandas"),
+        ["a", "b"], min_w, coalesce=partitions_for()).materialize()
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        w = b["w"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a]),
+                             "w": np.concatenate([w, w])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas").materialize()
+
+    def start_rows(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b["a"], b["b"]]).drop_duplicates()
+        return pd.DataFrame({"start_id": u.to_numpy(dtype=np.int64)})
+
+    def dedup_nodes(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty({"start_id": "int64"})
+        return p.drop_duplicates().astype({"start_id": "int64"})
+
+    nodes = bucketed_aggregate(
+        und.map_batches(start_rows, batch_format="pandas"),
+        ["start_id"], dedup_nodes, coalesce=partitions_for()).materialize()
+
+    frontier = nodes.map_batches(
+        lambda b: pd.DataFrame({"start_id": b["start_id"],
+                                "cur": b["start_id"]}),
+        batch_format="pandas").materialize()
+
+    out = nodes.map_batches(
+        lambda b: pd.DataFrame({"start_id": b["start_id"],
+                                "step": np.zeros(len(b), dtype=np.int64),
+                                "node_id": b["start_id"]}),
+        batch_format="pandas")
+
+    _ROW = {"k": "int64", "start_id": "int64", "v": "int64", "w": "int64",
+            "side": "int64"}
+    _F = {"start_id": "int64", "cur": "int64"}
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({"k": b["u"], "start_id": np.zeros(n, dtype=np.int64),
+                             "v": b["v"], "w": b["w"],
+                             "side": np.ones(n, dtype=np.int64)}).astype(_ROW)
+
+    for step in range(1, walk_len + 1):
+        def fr_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({"k": b["cur"].to_numpy(dtype=np.int64),
+                                 "start_id": b["start_id"].to_numpy(dtype=np.int64),
+                                 "v": np.zeros(n, dtype=np.int64),
+                                 "w": np.zeros(n, dtype=np.int64),
+                                 "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+        def advance(p: pd.DataFrame, s=step) -> pd.DataFrame:
+            if p.empty:
+                return typed_empty(_F)
+            rows = []
+            for node, g in p.groupby("k", sort=False):
+                e = g[g["side"] == 1].sort_values("v")
+                walks = g.loc[g["side"] == 0, "start_id"]
+                if e.empty or walks.empty:
+                    continue
+                nbrs = e["v"].to_numpy(dtype=np.int64)
+                cum = np.cumsum(e["w"].to_numpy(dtype=np.int64))
+                starts = walks.to_numpy(dtype=np.int64)
+                draw = stable_ids([f"wwalk|{st}|{s}|{node}" for st in starts]
+                                  ) % cum[-1]
+                idx = np.searchsorted(cum, draw, side="right")
+                rows.append(pd.DataFrame({"start_id": starts,
+                                          "cur": nbrs[idx]}))
+            if not rows:
+                return typed_empty(_F)
+            return pd.concat(rows, ignore_index=True).astype(_F)
+
+        u = sym.map_batches(edge_rows, batch_format="pandas").union(
+            frontier.map_batches(fr_rows, batch_format="pandas"))
+        frontier = bucketed_aggregate(u, ["k"], advance,
+                                      coalesce=partitions_for()).materialize()
+        out = out.union(frontier.map_batches(
+            lambda b, s=step: pd.DataFrame({
+                "start_id": b["start_id"],
+                "step": np.full(len(b), s, dtype=np.int64),
+                "node_id": b["cur"]}),
+            batch_format="pandas"))
+
+    return out.map_batches(lambda b: b[list(_WALK_COLS)].astype(_WALK_COLS),
+                           batch_format="pandas")

@@ -2295,3 +2295,27 @@ def test_zorder_interleave_known_values(ray_session, tmp_path):
     out = events_zorder(str(tmp_path)).to_pandas()
     assert (out["x"].iloc[0], out["y"].iloc[0]) == (3, 5)
     assert out["zcode"].iloc[0] == 0b100111
+
+
+def test_weighted_walks_bias_toward_heavy_edge(ray_session):
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import random_walks, weighted_random_walks
+
+    # hub node 1 with a massively heavier edge to 2 than to 3..6: most
+    # draws mod Σw land in 2's cumulative bucket
+    edges = pd.DataFrame({
+        "subj_id": pd.array([1, 1, 1, 1, 1], dtype="int64"),
+        "pred": ["e"] * 5,
+        "obj_id": pd.array([2, 3, 4, 5, 6], dtype="int64"),
+        "weight": pd.array([10_000, 1, 1, 1, 1], dtype="int64"),
+    })
+    ds = ray.data.from_pandas(edges)
+    w = weighted_random_walks(ds).to_pandas()
+    # all step-1 moves leaving node 1 (the walks that start there)
+    step1 = w[(w["start_id"] == 1) & (w["step"] == 1)]
+    assert step1["node_id"].iloc[0] == 2  # heavy edge captures the draw
+    # unweighted walks and weighted walks are both valid walks but use
+    # different draws — both deterministic
+    u = random_walks(ds).to_pandas()
+    assert len(u) == len(w)
