@@ -2319,3 +2319,26 @@ def test_weighted_walks_bias_toward_heavy_edge(ray_session):
     # different draws — both deterministic
     u = random_walks(ds).to_pandas()
     assert len(u) == len(w)
+
+
+def test_iterative_ops_raise_past_safety_bound(ray_session, tmp_path):
+    """The never-silent contract: iterative ops RAISE when the round
+    budget is exhausted before the fixed point (the dedup_clusters
+    lesson — a silent cap returns wrong answers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hebrew_ner_ray.ops.similarity import kmeans_lloyd
+    from hebrew_ner_ray.ops.textstats import text_kcore
+
+    edges = ["a b", "a c", "a d", "b c", "b d", "c d", "d e", "e f", "f g"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(edges)), type=pa.int64()),
+        "text": edges,
+    }), tmp_path / "documents.parquet")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        text_kcore(str(tmp_path), k=2, max_rounds=1)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kmeans_lloyd("/root/testdata/sf0.001", max_rounds=1)
