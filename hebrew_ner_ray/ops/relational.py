@@ -32,6 +32,19 @@ _PRICE_COLS = {
 BROADCAST_DIM_LIMIT = 20_000_000  # rows; ~300 MB of (int64, int64) per worker
 
 
+def dim_lookup(sorted_keys: np.ndarray, fact_keys: np.ndarray):
+    """Guarded broadcast-dimension lookup: positions into ``sorted_keys``
+    plus the INNER-JOIN match mask. A fact key absent from the dimension
+    (orphan FK — found by the randomized relational gate) must DROP the
+    row, never index out of bounds or silently hit a neighbor key."""
+    if len(sorted_keys) == 0:
+        return (np.zeros(len(fact_keys), dtype=np.int64),
+                np.zeros(len(fact_keys), dtype=bool))
+    pos = np.searchsorted(sorted_keys, fact_keys)
+    pos[pos == len(sorted_keys)] = 0
+    return pos, sorted_keys[pos] == fact_keys
+
+
 def revenue_by_nation(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
     """Size-aware dimension join: customer→nation revenue rollup.
 
@@ -71,7 +84,8 @@ def revenue_by_nation(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMI
             self.ck, self.cnat, self.names = ray.get(dim_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            pos = np.searchsorted(self.ck, b["o_custkey"].to_numpy())
+            pos, ok = dim_lookup(self.ck, b["o_custkey"].to_numpy())
+            b, pos = b[ok], pos[ok]  # inner join: orphan custkeys drop
             nat = self.cnat[pos]
             cents = np.floor(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
             g = (
@@ -1347,9 +1361,12 @@ def promo_revenue(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
             b = b[(d >= Q14_LO) & (d < Q14_HI)]
             if b.empty:
                 return typed_empty({"promo_cents": "int64", "total_cents": "int64"})
+            pos, ok = dim_lookup(self.pk, b["l_partkey"].to_numpy())
+            b, pos = b[ok], pos[ok]  # inner join: orphan partkeys drop
+            if b.empty:
+                return typed_empty({"promo_cents": "int64", "total_cents": "int64"})
             cents = np.floor(b["l_extendedprice"].to_numpy()
                              * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
-            pos = np.searchsorted(self.pk, b["l_partkey"].to_numpy())
             is_promo = self.promo[pos]
             return pd.DataFrame({
                 "promo_cents": [np.int64(cents[is_promo].sum())],
@@ -1582,9 +1599,13 @@ def volume_shipping(sf_dir: str):
             b = b[(d >= Q7_LO) & (d < Q7_HI)]
             if b.empty:
                 return typed_empty(_ROW)
+            pos, ok = dim_lookup(self.sk, b["l_suppkey"].to_numpy())
+            b, pos = b[ok], pos[ok]  # inner join: orphan suppkeys drop
+            if b.empty:
+                return typed_empty(_ROW)
             cents = np.floor(b["l_extendedprice"].to_numpy()
                              * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
-            nat = self.snat[np.searchsorted(self.sk, b["l_suppkey"].to_numpy())]
+            nat = self.snat[pos]
             g = (pd.DataFrame({
                 "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
                 "nat": nat.astype(np.int64),
@@ -1600,7 +1621,9 @@ def volume_shipping(sf_dir: str):
             _, _, self.ck, self.cnat = ray.get(dim_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            nat = self.cnat[np.searchsorted(self.ck, b["o_custkey"].to_numpy())]
+            pos, ok = dim_lookup(self.ck, b["o_custkey"].to_numpy())
+            b, pos = b[ok], pos[ok]  # inner join: orphan custkeys drop
+            nat = self.cnat[pos]
             n = len(b)
             return pd.DataFrame({
                 "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),

@@ -2342,3 +2342,97 @@ def test_iterative_ops_raise_past_safety_bound(ray_session, tmp_path):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         kmeans_lloyd("/root/testdata/sf0.001", max_rounds=1)
+
+
+def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized tables with REAL violations (orphan FKs, empty docs,
+    boundary balances) through the session-3 relational family vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rng = np.random.RandomState(11)
+    n_cust, n_ord, n_li, n_part, n_supp = 200, 800, 2500, 60, 40
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, n_cust + 1), type=pa.int64()),
+        "c_nationkey": pa.array(rng.randint(0, 5, n_cust).astype("int32")),
+        "c_acctbal": pa.array(np.round(rng.randn(n_cust) * 1000, 2)),
+        "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+        "c_mktsegment": pa.array(rng.choice(["A", "B"], n_cust)),
+    }), tmp_path / "customer.parquet", row_group_size=64)
+    # ~5% orphan custkeys (beyond n_cust)
+    ck = rng.randint(1, int(n_cust * 1.05), n_ord).astype("int64")
+    dates = pd.Timestamp("1996-01-01") + pd.to_timedelta(
+        rng.randint(0, 5 * 365, n_ord), unit="D")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(1, n_ord + 1), type=pa.int64()),
+        "o_custkey": pa.array(ck),
+        "o_orderstatus": pa.array(rng.choice(["O", "F"], n_ord)),
+        "o_totalprice": pa.array(np.round(rng.rand(n_ord) * 1e5, 2)),
+        "o_orderdate": pa.array(dates, type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(["1-URGENT", "5-LOW"], n_ord)),
+    }), tmp_path / "orders.parquet", row_group_size=128)
+    ok = rng.randint(1, int(n_ord * 1.04), n_li).astype("int64")
+    sdates = pd.Timestamp("1995-06-01") + pd.to_timedelta(
+        rng.randint(0, 4 * 365, n_li), unit="D")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok),
+        "l_partkey": pa.array(rng.randint(1, n_part + 1, n_li).astype("int64")),
+        "l_suppkey": pa.array(rng.randint(1, n_supp + 1, n_li).astype("int64")),
+        "l_linenumber": pa.array(rng.randint(1, 5, n_li).astype("int32")),
+        "l_quantity": pa.array(np.round(rng.rand(n_li) * 50, 0)),
+        "l_extendedprice": pa.array(np.round(rng.rand(n_li) * 1e4, 2)),
+        "l_discount": pa.array(np.round(rng.rand(n_li) * 0.1, 2)),
+        "l_tax": pa.array(np.zeros(n_li)),
+        "l_returnflag": pa.array(rng.choice(["R", "N"], n_li)),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], n_li)),
+        "l_shipdate": pa.array(sdates, type=pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet", row_group_size=256)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(1, n_part + 1), type=pa.int64()),
+        "p_name": pa.array([f"p{i}" for i in range(n_part)]),
+        "p_brand": pa.array(rng.choice(["B1", "B2"], n_part)),
+        "p_type": pa.array(rng.choice(["PROMO", "STANDARD", "ECONOMY"],
+                                      n_part)),
+        "p_size": pa.array(rng.randint(1, 50, n_part).astype("int32")),
+        "p_retailprice": pa.array(np.round(rng.rand(n_part) * 1e3, 2)),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(1, n_supp + 1), type=pa.int64()),
+        "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.randint(0, 5, n_supp).astype("int32")),
+        "s_acctbal": pa.array(np.round(rng.randn(n_supp) * 100, 2)),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(5, dtype=np.int32)),
+        "n_name": pa.array([f"NATION{i}" for i in range(5)]),
+        "n_regionkey": pa.array(np.zeros(5, dtype=np.int32)),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(30), type=pa.int64()),
+        "text": ["" if i % 7 == 0 else f"tok{i % 3} tok{i % 5} x"
+                 for i in range(30)],
+        "lang": pa.array(rng.choice(["he", "en"], 30)),
+        "source": pa.array(["t"] * 30),
+        "n_chars": pa.array(rng.randint(1, 100, 30).astype("int64")),
+    }), tmp_path / "documents.parquet")
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "part", "supplier",
+              "nation", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    for name in ["order_count_distribution", "promo_revenue",
+                 "idle_rich_customers", "dq_constraints", "price_quantiles",
+                 "volume_shipping", "profile_orders"]:
+        got = qs[name](str(tmp_path))
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(sqls[name]).df()
+        got = (got[sorted(got.columns)]
+               .sort_values(sorted(got.columns)).reset_index(drop=True))
+        want = (want[sorted(want.columns)]
+                .sort_values(sorted(want.columns)).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
