@@ -249,12 +249,13 @@ GROUP BY 1
 """)
 
 
-def _sql_kmeans(k: int, rounds: int = 24) -> str:
+def _sql_kmeans(k: int, rounds: int = 36) -> str:
     """Unrolled Lloyd's k-means twin (micro-unit integers, floor-division
     means, argmin tie → smallest cid, empty clusters keep the previous
     centroid). Sound in the unroll direction: Lloyd's is idempotent at
     its fixed point, so rounds ≥ the engine's converged count (19 at
-    sf0.01, 13 at sf0.001 — engine raises past its own safety bound)
+    sf0.01, 13 at sf0.001, 31 at sf0.1 — the 36-round budget covers all
+    measured scales; engine raises past its own safety bound)
     reproduce the fixed-point assignment exactly."""
     head = f"""WITH ex AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
