@@ -2436,3 +2436,54 @@ def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
         want = (want[sorted(want.columns)]
                 .sort_values(sorted(want.columns)).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+def test_text_ops_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized documents (empty texts, single tokens, heavy dup runs,
+    mixed langs) through the session-3 text operators vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(40)] + ["x", "yy", "zzz"]
+    texts = []
+    for i in range(400):
+        r = rng.rand()
+        if r < 0.05:
+            texts.append("")            # empty
+        elif r < 0.10:
+            texts.append(rng.choice(vocab))  # single token
+        elif r < 0.20:
+            t = rng.choice(vocab)
+            texts.append(" ".join([t] * rng.randint(3, 30)))  # dup run
+        else:
+            texts.append(" ".join(rng.choice(vocab,
+                                             rng.randint(2, 60))))
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(400), type=pa.int64()),
+        "text": texts,
+        "lang": pa.array(rng.choice(["he", "en", "de"], 400)),
+        "source": pa.array(["r"] * 400),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet", row_group_size=64)
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    for name in ["text_entropy", "text_repetition", "doc_pareto_frontier",
+                 "text_cms_heavy_estimate", "text_heavy_hitters_by_lang",
+                 "doc_len_mad_by_lang", "corpus_split_assign",
+                 "text_bm25_topk", "dedup_incremental"]:
+        got = qs[name](str(tmp_path))
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(sqls[name]).df()
+        got = (got[sorted(got.columns)]
+               .sort_values(sorted(got.columns)).reset_index(drop=True))
+        want = (want[sorted(want.columns)]
+                .sort_values(sorted(want.columns)).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
