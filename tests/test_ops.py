@@ -2487,3 +2487,84 @@ def test_text_ops_randomized_vs_duckdb(ray_session, tmp_path):
         want = (want[sorted(want.columns)]
                 .sort_values(sorted(want.columns)).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+def test_graph_ops_randomized_vs_bruteforce(ray_session):
+    """Random weighted graphs ×3 seeds: components, BFS depths, and
+    weighted shortest paths vs pure-python union-find / BFS / Dijkstra."""
+    import heapq
+
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import bfs_depths, components, shortest_paths
+
+    for seed in [3, 17, 91]:
+        rng = np.random.RandomState(seed)
+        n_edges = 60
+        edges = pd.DataFrame({
+            "subj_id": pd.array(rng.randint(1, 30, n_edges), dtype="int64"),
+            "pred": ["e"] * n_edges,
+            "obj_id": pd.array(rng.randint(1, 30, n_edges), dtype="int64"),
+            "weight": pd.array(rng.randint(1, 20, n_edges), dtype="int64"),
+        })
+        ds = ray.data.from_pandas(edges)
+        # undirected min-weight adjacency, self-loops dropped
+        adj, wadj = {}, {}
+        for s, o, w in zip(edges["subj_id"], edges["obj_id"], edges["weight"]):
+            if s == o:
+                continue
+            a, b = int(min(s, o)), int(max(s, o))
+            k = (a, b)
+            wadj[k] = min(wadj.get(k, 1 << 60), int(w))
+        for (a, b), w in wadj.items():
+            adj.setdefault(a, {})[b] = w
+            adj.setdefault(b, {})[a] = w
+        nodes = sorted(adj)
+        if not nodes:
+            continue
+        # components via union-find
+        parent = {u: u for u in nodes}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for (a, b) in wadj:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        want_comp = {u: find(u) for u in nodes}
+        got_comp = components(ds).to_pandas()
+        assert dict(zip(got_comp["entity_id"], got_comp["component_id"])) \
+            == want_comp, f"components seed={seed}"
+        # BFS from min node
+        src = min(nodes)
+        depth = {src: 0}
+        frontier = [src]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in depth:
+                        depth[v] = depth[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        got_bfs = bfs_depths(ds).to_pandas()
+        assert dict(zip(got_bfs["entity_id"], got_bfs["depth"])) == depth, \
+            f"bfs seed={seed}"
+        # Dijkstra from min node
+        dist = {src: 0}
+        pq_ = [(0, src)]
+        while pq_:
+            d, u = heapq.heappop(pq_)
+            if d > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj[u].items():
+                nd = d + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(pq_, (nd, v))
+        got_sp = shortest_paths(ds).to_pandas()
+        assert dict(zip(got_sp["entity_id"], got_sp["dist"])) == dist, \
+            f"sssp seed={seed}"
