@@ -511,3 +511,76 @@ def dedup_incremental(sf_dir: str):
     return bucketed_aggregate(ds.map_batches(rows, batch_format="pandas"),
                               ["text_hash"], anti,
                               coalesce=partitions_for())
+
+
+_CONTAM_COLS = {"n_eval_docs": "int64", "n_contaminated": "int64",
+                "contamination_ppm": "int64"}
+
+
+def split_contamination(sf_dir: str):
+    """Train/eval decontamination check — the release gate every LLM
+    training pipeline runs: how many EVAL-split documents share at least
+    one 3-token shingle with ANY train-split document. Splits are the
+    engine's content-addressed buckets (corpus_split_assign: train < 80,
+    eval ≥ 80), shingles the dedup int64-id contract. One shingle-keyed
+    exchange marks contaminated shingles (≥1 train doc in the partition)
+    and emits their eval doc ids; a doc-keyed dedup + count finishes.
+    Nothing corpus-sized reaches the driver; empty/short docs shingle to
+    their full token string (or nothing) exactly as in dedup_jaccard."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def sh_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = shingle_explode_batch(b)
+        bucket = stable_ids([f"split|{i}" for i in s["doc_id"]]) % 100
+        s = s.assign(is_train=(bucket < 80).astype(np.int64))
+        return s[["doc_id", "sh_h", "is_train"]].astype(
+            {"doc_id": "int64", "sh_h": "int64", "is_train": "int64"})
+
+    _D = {"doc_id": "int64"}
+
+    def contaminated(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_D)
+        train_sh = set(p.loc[p["is_train"] == 1, "sh_h"])
+        ev = p[(p["is_train"] == 0) & p["sh_h"].isin(train_sh)]
+        return ev[["doc_id"]].drop_duplicates().astype(_D)
+
+    cont = bucketed_aggregate(ds.map_batches(sh_rows, batch_format="pandas"),
+                              ["sh_h"], contaminated,
+                              coalesce=partitions_for())
+
+    def dedup_docs(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_D)
+        return p.drop_duplicates().astype(_D)
+
+    cont = bucketed_aggregate(cont, ["doc_id"], dedup_docs,
+                              coalesce=partitions_for()).materialize()
+    n_cont = cont.count()
+
+    def eval_count(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = stable_ids([f"split|{i}" for i in b["doc_id"]]) % 100
+        return pd.DataFrame({"n": [np.int64((bucket >= 80).sum())]})
+
+    n_eval = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(eval_count, batch_format="pandas").sum("n") or 0)
+
+    ppm = np.int64(n_cont * 1_000_000 // n_eval) if n_eval else np.int64(0)
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "n_eval_docs": [np.int64(n_eval)],
+        "n_contaminated": [np.int64(n_cont)],
+        "contamination_ppm": [ppm]}).astype(_CONTAM_COLS))

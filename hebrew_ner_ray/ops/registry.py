@@ -156,6 +156,8 @@ def ops_queries():
         "dedup_incremental": _wrap(dedup.dedup_incremental),
         "text_entropy": _wrap(textstats.text_entropy),
         "text_repetition": _wrap(textstats.text_repetition),
+        "corpus_card": _wrap(textstats.corpus_card),
+        "split_contamination": _wrap(dedup.split_contamination),
         "media_decode": _wrap(multimodal.media_decode),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
@@ -994,6 +996,54 @@ WHERE NOT EXISTS (
 ORDER BY n_chars
 """,
         "text_kcore": _sql_kcore(textstats.KCORE_K),
+        # one-row dataset card; KMV and tokenization per text_distinct_kmv
+        "corpus_card": rf"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
+u AS (SELECT unnest(t) AS tok FROM tk),
+ids AS (SELECT DISTINCT {sql_stable_id('tok')} AS h FROM u),
+km AS (SELECT h FROM ids ORDER BY h LIMIT {KMV_K}),
+agg AS (SELECT count(*) AS k_used, coalesce(max(h), 0) AS kth,
+               (SELECT count(*) FROM ids) AS n_distinct FROM km)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+       (SELECT CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_empty,
+       (SELECT CAST(sum(n) AS BIGINT) FROM d) AS n_tokens,
+       (SELECT CAST(sum(n) * 1000 // count(*) AS BIGINT) FROM d)
+         AS mean_tokens_milli,
+       CAST(CASE WHEN agg.n_distinct < {KMV_K} THEN agg.n_distinct
+                 ELSE CAST({KMV_K - 1} AS HUGEINT)
+                      * 1152921504606846976 // agg.kth END AS BIGINT)
+         AS vocab_kmv,
+       (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+         AS n_langs
+FROM agg
+""",
+        # decontamination: eval docs sharing ≥1 shingle id with train
+        "split_contamination": f"""
+WITH {_SHINGLES_CTE},
+sp AS (
+  SELECT doc_id,
+         {sql_stable_id("'split|' || CAST(doc_id AS VARCHAR)")} % 100
+           AS bucket
+  FROM documents
+),
+tr AS (SELECT DISTINCT sh_h FROM sh JOIN sp USING (doc_id)
+       WHERE bucket < 80),
+ev AS (SELECT doc_id FROM sp WHERE bucket >= 80),
+cont AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN ev USING (doc_id) JOIN tr USING (sh_h)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM cont) AS n_contaminated,
+       CAST(CASE WHEN (SELECT count(*) FROM ev) = 0 THEN 0
+                 ELSE (SELECT count(*) FROM cont) * 1000000
+                      // (SELECT count(*) FROM ev) END AS BIGINT)
+         AS contamination_ppm
+""",
         # per-distinct-token floors (the lm_doc_logprob contract)
         "text_entropy": r"""
 WITH tk AS (

@@ -1912,3 +1912,64 @@ def text_repetition(sf_dir: str):
         return out[list(_REP_COLS)].astype(_REP_COLS)
 
     return ds.map_batches(run, batch_format="pandas")
+
+
+_CARD_COLS = {"n_docs": "int64", "n_empty": "int64", "n_tokens": "int64",
+              "mean_tokens_milli": "int64", "vocab_kmv": "int64",
+              "n_langs": "int64"}
+
+
+def corpus_card(sf_dir: str):
+    """One-row dataset card — the summary every published training corpus
+    ships: doc/empty counts, token totals, mean length (milli), KMV
+    vocabulary estimate, language count. ONE streaming pass; each batch
+    folds to a fixed-size partial (counts + k smallest token hashes +
+    the tiny distinct-lang set), merged associatively in a single task.
+    The KMV and tokenization contracts are the text_distinct_kmv ones."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    _HASH_SPACE = 1 << 60
+    _P = {"n_docs": "int64", "n_empty": "int64", "n_tokens": "int64",
+          "hashes": "object", "langs": "object"}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        vocab = sorted({t for l in toks for t in l})
+        h = np.unique(stable_ids(vocab))[:KMV_K] if vocab else \
+            np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(b))],
+            "n_empty": [np.int64((lens == 0).sum())],
+            "n_tokens": [np.int64(lens.sum())],
+            "hashes": [h.astype(np.int64)],
+            "langs": [sorted(set(b["lang"]))],
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_CARD_COLS)
+        h = np.unique(np.concatenate(list(g["hashes"])))[:KMV_K]
+        if len(h) < KMV_K:
+            vocab = np.int64(len(h))
+        else:
+            vocab = np.int64((KMV_K - 1) * _HASH_SPACE // int(h[KMV_K - 1]))
+        n_docs = np.int64(g["n_docs"].sum())
+        n_tok = np.int64(g["n_tokens"].sum())
+        return pd.DataFrame({
+            "n_docs": [n_docs], "n_empty": [np.int64(g["n_empty"].sum())],
+            "n_tokens": [n_tok],
+            "mean_tokens_milli": [np.int64(n_tok * 1000 // n_docs)
+                                  if n_docs else np.int64(0)],
+            "vocab_kmv": [vocab],
+            "n_langs": [np.int64(len(set().union(*g["langs"])))],
+        }).astype(_CARD_COLS)
+
+    return small_key_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), final)

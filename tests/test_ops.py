@@ -2568,3 +2568,43 @@ def test_graph_ops_randomized_vs_bruteforce(ray_session):
         got_sp = shortest_paths(ds).to_pandas()
         assert dict(zip(got_sp["entity_id"], got_sp["dist"])) == dist, \
             f"sssp seed={seed}"
+
+
+def test_split_contamination_partial_overlap(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.dedup import split_contamination
+
+    # doc 0,1,2 are train buckets; 8,10 are eval buckets (md5 split).
+    # eval doc 8 shares the trigram "a b c" with train doc 0; eval doc 10
+    # is entirely novel → exactly 1 of 2 eval docs contaminated.
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 8, 10], type=pa.int64()),
+        "text": ["a b c d", "e f g h", "i j k",
+                 "x a b c y", "q r s t u"],
+    }), tmp_path / "documents.parquet")
+    out = split_contamination(str(tmp_path)).to_pandas()
+    assert out["n_eval_docs"].iloc[0] == 2
+    assert out["n_contaminated"].iloc[0] == 1
+    assert out["contamination_ppm"].iloc[0] == 500000
+
+
+def test_corpus_card_counts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.textstats import corpus_card
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["a b c", "", "A a d"],
+        "lang": ["he", "en", "he"],
+    }), tmp_path / "documents.parquet")
+    out = corpus_card(str(tmp_path)).to_pandas()
+    row = out.iloc[0]
+    # vocab (lowered): {a, b, c, d} = 4; tokens 3+0+3=6; mean 2000 milli
+    assert (row["n_docs"], row["n_empty"], row["n_tokens"]) == (3, 1, 6)
+    assert row["mean_tokens_milli"] == 2000
+    assert row["vocab_kmv"] == 4
+    assert row["n_langs"] == 2
