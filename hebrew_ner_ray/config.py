@@ -92,8 +92,20 @@ def build_pipeline(cfg: "Dict[str, Any] | str") -> Any:
         from hebrew_ner_ray.pipelines.evaljoin import eval_vs_gold
 
         return eval_vs_gold(sf_dir)
+    if kind == "query":
+        # every scale-ops registry query by name: pipeline=query,
+        # query=<name> (dedup_jaccard, text_bm25_topk, events_sessions, …)
+        from hebrew_ner_ray.ops.registry import ops_queries
+
+        qs = ops_queries()
+        name = cfg.get("query", "")
+        if name not in qs:
+            raise ValueError(
+                f"unknown query '{name}' — one of {sorted(qs)[:8]}… "
+                f"({len(qs)} total; see OPERATORS.md)")
+        return qs[name](sf_dir)
     raise ValueError(f"unknown pipeline '{kind}' — expected one of "
-                     "ner|crf|kg|kg_resumable|curation|eval_vs_gold")
+                     "ner|crf|kg|kg_resumable|curation|eval_vs_gold|query")
 
 
 def registry() -> Dict[str, Callable[..., Any]]:

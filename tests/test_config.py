@@ -54,3 +54,23 @@ def test_unknown_pipeline():
 
 def test_registry_names():
     assert set(registry()) == {"ner", "crf", "kg", "kg_resumable", "curation", "eval_vs_gold"}
+
+
+def test_config_query_surface(ray_session, tmp_path):
+    from hebrew_ner_ray.config import build_pipeline
+
+    out = build_pipeline({"pipeline": "query", "query": "dedup_exact",
+                          "sf_dir": "/root/testdata/sf0.001"}).to_pandas()
+    assert len(out) > 0 and "text_hash" in out.columns
+
+    cfgf = tmp_path / "q.config"
+    cfgf.write_text("pipeline=query  # comment\nquery=corpus_card\n"
+                    "sf_dir=/root/testdata/sf0.001\n")
+    card = build_pipeline(str(cfgf)).to_pandas()
+    assert card["n_docs"].iloc[0] == 500
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown query"):
+        build_pipeline({"pipeline": "query", "query": "nope",
+                        "sf_dir": "/root/testdata/sf0.001"})
