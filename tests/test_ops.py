@@ -2490,15 +2490,17 @@ def test_text_ops_randomized_vs_duckdb(ray_session, tmp_path):
 
 
 def test_graph_ops_randomized_vs_bruteforce(ray_session):
-    """Random weighted graphs ×3 seeds: components, BFS depths, and
-    weighted shortest paths vs pure-python union-find / BFS / Dijkstra."""
+    """Random weighted graphs ×2 seeds: components, BFS depths, and
+    weighted shortest paths vs pure-python union-find / BFS / Dijkstra
+    (two seeds keep the full suite inside its time budget — each seed is
+    nine distributed pipeline runs)."""
     import heapq
 
     import ray.data
 
     from hebrew_ner_ray.kg.graphstats import bfs_depths, components, shortest_paths
 
-    for seed in [3, 17, 91]:
+    for seed in [3, 17]:
         rng = np.random.RandomState(seed)
         n_edges = 60
         edges = pd.DataFrame({
