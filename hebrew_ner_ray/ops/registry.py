@@ -128,6 +128,8 @@ def ops_queries():
         "dq_constraints": _wrap(relational.dq_constraints),
         "idle_rich_customers": _wrap(relational.idle_rich_customers),
         "profile_orders": _wrap(relational.profile_table),
+        "parts_supplier_counts": _wrap(relational.parts_supplier_counts),
+        "small_quantity_revenue": _wrap(relational.small_quantity_revenue),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -1361,6 +1363,30 @@ FROM (VALUES {", ".join(f"({p})" for p in relational.QUANT_PCTS)}) p(q)
 JOIN r ON r.rn = (r.n * p.q + 99) // 100
 """,
         "profile_orders": _sql_profile_orders(),
+        # Q16 shape: grouped distinct suppliers over the part join
+        "parts_supplier_counts": """
+SELECT p.p_brand,
+       CAST(p.p_size // 10 AS BIGINT) AS size_bucket,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2
+""",
+        # Q17 shape: below-20%-of-part-average revenue; the threshold is
+        # the exact integer cross-multiply 5·qty·n < Σqty
+        "small_quantity_revenue": """
+WITH q AS (
+  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+s AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(coalesce(sum(q.cents), 0) AS BIGINT) AS revenue_cents
+FROM q JOIN s USING (l_partkey)
+WHERE 5 * q.qty * s.n < s.sum_qty
+""",
         # Q22 shape; above-average test as the exact integer
         # cross-multiply cents·N > Σcents (no float average anywhere)
         "idle_rich_customers": f"""

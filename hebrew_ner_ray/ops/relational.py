@@ -1966,3 +1966,144 @@ def profile_table(sf_dir: str, table: str = "orders"):
     ds = ray.data.read_parquet(path)
     return small_key_aggregate(
         ds.map_batches(partial, batch_format="pandas"), final)
+
+
+_Q16_COLS = {"p_brand": "object", "size_bucket": "int64",
+             "supplier_cnt": "int64"}
+
+
+def parts_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, size bucket) —
+    grouped COUNT DISTINCT over a fact↔dimension join. Part attributes
+    broadcast (size-aware contract); lineitem rows collapse to distinct
+    (brand, bucket, suppkey) triples per batch, one exchange on the full
+    triple makes the global distinct a partition-local drop_duplicates,
+    and (brand, bucket) count partials cross the final hop."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk)
+    brands = np.asarray(part.column("p_brand").to_pylist(),
+                        dtype=object)[order]
+    sizes = (part.column("p_size").to_numpy().astype(np.int64) // 10)[order]
+    dim_ref = ray.put((pk[order], brands, sizes))
+
+    _T = {"p_brand": "object", "size_bucket": "int64", "suppkey": "int64"}
+
+    class Triples:
+        def __init__(self):
+            self.pk, self.brands, self.sizes = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            pos, ok = dim_lookup(self.pk, b["l_partkey"].to_numpy())
+            b, pos = b[ok], pos[ok]
+            if b.empty:
+                return typed_empty(_T)
+            return (pd.DataFrame({
+                "p_brand": self.brands[pos],
+                "size_bucket": self.sizes[pos],
+                "suppkey": b["l_suppkey"].to_numpy(dtype=np.int64),
+            }).drop_duplicates().astype(_T))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+    tri = ds.map_batches(Triples, batch_format="pandas",
+                         concurrency=default_concurrency())
+
+    def count_part(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_Q16_COLS)
+        d = p.drop_duplicates()
+        return (d.groupby(["p_brand", "size_bucket"], as_index=False)
+                .agg(supplier_cnt=("suppkey", "size")).astype(_Q16_COLS))
+
+    partials = bucketed_aggregate(tri, ["p_brand", "size_bucket", "suppkey"],
+                                  count_part, coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q16_COLS)
+        return (g.groupby(["p_brand", "size_bucket"], as_index=False)
+                .agg(supplier_cnt=("supplier_cnt", "sum")).astype(_Q16_COLS))
+
+    return small_key_aggregate(partials, final)
+
+
+_Q17_COLS = {"n_small": "int64", "revenue_cents": "int64"}
+
+
+def small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the correlated per-group
+    threshold. One exchange on partkey: per-batch (partkey, Σqty, n)
+    combiners meet the RAW (partkey, qty, cents) rows in the same
+    partition; the threshold test is the EXACT integer cross-multiply
+    ``5·qty·n < Σqty`` (qty floored to int, the pricing_summary
+    contract) — no float average anywhere. Output one row
+    (n_small, revenue_cents)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _ROW = {"partkey": "int64", "qty": "int64", "cents": "int64",
+            "n": "int64", "side": "int64"}
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(b["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pk = b["l_partkey"].to_numpy(dtype=np.int64)
+        raw = pd.DataFrame({"partkey": pk, "qty": qty, "cents": cents,
+                            "n": np.zeros(len(b), dtype=np.int64),
+                            "side": np.zeros(len(b), dtype=np.int64)})
+        agg = (pd.DataFrame({"partkey": pk, "qty": qty})
+               .groupby("partkey", as_index=False)
+               .agg(qty=("qty", "sum"), n=("qty", "size")))
+        agg["cents"] = np.int64(0)
+        agg["side"] = np.int64(1)
+        return pd.concat([raw, agg[list(_ROW)]], ignore_index=True).astype(_ROW)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def threshold(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_Q17_COLS)
+        stats = (p[p["side"] == 1]
+                 .groupby("partkey", as_index=False)
+                 .agg(sum_qty=("qty", "sum"), n=("n", "sum")))
+        raw = (p[p["side"] == 0][["partkey", "qty", "cents"]]
+               .merge(stats, on="partkey"))
+        small = raw[5 * raw["qty"] * raw["n"] < raw["sum_qty"]]
+        return pd.DataFrame({
+            "n_small": [np.int64(len(small))],
+            "revenue_cents": [np.int64(small["cents"].sum())]})
+
+    partials = bucketed_aggregate(ds.map_batches(rows, batch_format="pandas"),
+                                  ["partkey"], threshold,
+                                  coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q17_COLS)
+        return pd.DataFrame({
+            "n_small": [np.int64(g["n_small"].sum())],
+            "revenue_cents": [np.int64(g["revenue_cents"].sum())]}
+        ).astype(_Q17_COLS)
+
+    return small_key_aggregate(partials, final)

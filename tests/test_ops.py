@@ -2610,3 +2610,34 @@ def test_corpus_card_counts(ray_session, tmp_path):
     assert row["mean_tokens_milli"] == 2000
     assert row["vocab_kmv"] == 4
     assert row["n_langs"] == 2
+
+
+def test_small_quantity_threshold_exact(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import small_quantity_revenue
+
+    # part 1: qtys 1,9 → avg 5, threshold 20% = 1.0; 5·1·2 = 10 < 10 is
+    # FALSE (strict) → qty 1 NOT small. part 2: qtys 1,99 → 5·1·2=10 <
+    # 100 → qty 1 small (price 2.00)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_quantity": pa.array([1.0, 9.0, 1.0, 99.0]),
+        "l_extendedprice": pa.array([1.0, 1.0, 2.0, 3.0]),
+    }), tmp_path / "lineitem.parquet")
+    out = small_quantity_revenue(str(tmp_path)).to_pandas()
+    assert out["n_small"].iloc[0] == 1
+    assert out["revenue_cents"].iloc[0] == 200
+
+
+def test_parts_supplier_counts_distinct(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    SF = "/root/testdata/sf0.001"
+    got = (E.queries()["parts_supplier_counts"](SF).to_pandas()
+           .sort_values(["p_brand", "size_bucket"]).reset_index(drop=True))
+    assert len(got) > 0
+    assert (got["supplier_cnt"] >= 1).all()
