@@ -173,3 +173,88 @@ def media_feature_components(sf_dir: str):
         )
 
     return media_features(sf_dir).map_batches(unnest, batch_format="pyarrow")
+
+
+RESIZE_MAX = 256
+N_FRAME_SAMPLES = 8
+
+
+class MediaResizer:
+    """Aspect-preserving resize stage (images only): target box
+    RESIZE_MAX on the long side, integer floor on the short side,
+    clamped ≥ 1. The kernel is pure integer math over the decoded
+    dimensions — in production the actor holds the codec and writes the
+    resized payload; the stage signature, batching and schema are the
+    real thing (the decode-stub contract)."""
+
+    def __init__(self, max_side: int = RESIZE_MAX):
+        self.max_side = max_side
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        mask = pc.equal(batch.column("kind"), "image")
+        b = batch.filter(mask)
+        w = b.column("width").to_numpy()
+        h = b.column("height").to_numpy()
+        m = self.max_side
+        long_is_w = w >= h
+        out_w = np.where(long_is_w, m, np.maximum(w * m // np.maximum(h, 1), 1))
+        out_h = np.where(long_is_w, np.maximum(h * m // np.maximum(w, 1), 1), m)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "span_ord": b.column("span_ord"),
+            "width": pa.array(w, type=pa.int64()),
+            "height": pa.array(h, type=pa.int64()),
+            "out_w": pa.array(out_w.astype("int64"), type=pa.int64()),
+            "out_h": pa.array(out_h.astype("int64"), type=pa.int64()),
+        })
+
+
+def media_resize(sf_dir: str):
+    """Decode → aspect-preserving resize plan for every image span."""
+    decoded = media_decode(sf_dir)
+    return decoded.map_batches(MediaResizer, batch_format="pyarrow",
+                               batch_size=512,
+                               concurrency=default_concurrency())
+
+
+class FrameSampler:
+    """Uniform frame sampling over EVERY media span: k = N_FRAME_SAMPLES
+    indices floor(i·n_frames/k), deduplicated when n_frames < k (a
+    single-frame image samples exactly frame 0) — the standard
+    training-data frame-subsample plan, one row per sampled frame.
+    Integer-exact; the SQL twin unnests the identical index expression."""
+
+    def __init__(self, k: int = N_FRAME_SAMPLES):
+        self.k = k
+
+    def __call__(self, b: "pa.Table") -> "pa.Table":
+        nf = b.column("n_frames").to_numpy()
+        take, rows_o, rows_f = [], [], []
+        for r, n in enumerate(nf):
+            idx = np.unique((np.arange(self.k, dtype=np.int64) * int(n))
+                            // self.k)
+            idx = idx[idx < n]
+            take.append(np.full(len(idx), r, dtype=np.int64))
+            rows_o.append(np.arange(len(idx), dtype=np.int64))
+            rows_f.append(idx)
+        if not take:
+            take = [np.empty(0, dtype=np.int64)]
+            rows_o = [np.empty(0, dtype=np.int64)]
+            rows_f = [np.empty(0, dtype=np.int64)]
+        ti = pa.array(np.concatenate(take))
+        return pa.table({
+            "doc_id": b.column("doc_id").take(ti),
+            "span_ord": b.column("span_ord").take(ti),
+            "sample_ord": pa.array(np.concatenate(rows_o)),
+            "frame_idx": pa.array(np.concatenate(rows_f)),
+        })
+
+
+def media_frame_sample(sf_dir: str):
+    """Decode → uniform frame-sample plan for every audio span."""
+    decoded = media_decode(sf_dir)
+    return decoded.map_batches(FrameSampler, batch_format="pyarrow",
+                               batch_size=512,
+                               concurrency=default_concurrency())

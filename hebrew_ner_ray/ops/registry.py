@@ -161,6 +161,8 @@ def ops_queries():
         "corpus_card": _wrap(textstats.corpus_card),
         "split_contamination": _wrap(dedup.split_contamination),
         "media_decode": _wrap(multimodal.media_decode),
+        "media_resize": _wrap(multimodal.media_resize),
+        "media_frame_sample": _wrap(multimodal.media_frame_sample),
         "media_features": _wrap(multimodal.media_features),  # list col →
         # rows-only here; the list VALUES are oracle-checked by the
         # media_feature_components unnest query below
@@ -1884,6 +1886,56 @@ SELECT doc_id, span_ord, kind, media_ref,
        CAST(CASE WHEN kind = 'image' THEN 16 + {media_h} % 2048 ELSE 0 END AS BIGINT) AS height,
        CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1000 + {media_d} % 600000 END AS BIGINT) AS n_frames
 FROM media
+"""
+    from hebrew_ner_ray.ops.multimodal import N_FRAME_SAMPLES, RESIZE_MAX
+
+    oracles["media_resize"] = f"""
+WITH {CORPUS_CTE},
+media AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS span_ord, kind,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+),
+dims AS (
+  SELECT doc_id, span_ord,
+         CAST(16 + {media_w} % 2048 AS BIGINT) AS width,
+         CAST(16 + {media_h} % 2048 AS BIGINT) AS height
+  FROM media WHERE kind = 'image'
+)
+SELECT doc_id, span_ord, width, height,
+       CAST(CASE WHEN width >= height THEN {RESIZE_MAX}
+                 ELSE greatest(width * {RESIZE_MAX} // greatest(height, 1), 1)
+            END AS BIGINT) AS out_w,
+       CAST(CASE WHEN width >= height
+                 THEN greatest(height * {RESIZE_MAX} // greatest(width, 1), 1)
+                 ELSE {RESIZE_MAX} END AS BIGINT) AS out_h
+FROM dims
+"""
+    oracles["media_frame_sample"] = f"""
+WITH {CORPUS_CTE},
+media AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS span_ord, kind,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+),
+au AS (
+  SELECT doc_id, span_ord,
+         CAST(CASE WHEN kind = 'image' THEN 1
+                   ELSE 1000 + {media_d} % 600000 END AS BIGINT) AS n_frames
+  FROM media
+),
+idx AS (
+  SELECT DISTINCT doc_id, span_ord,
+         CAST(i * n_frames // {N_FRAME_SAMPLES} AS BIGINT) AS frame_idx
+  FROM au, unnest(range({N_FRAME_SAMPLES})) AS u(i)
+  WHERE i * n_frames // {N_FRAME_SAMPLES} < n_frames
+)
+SELECT doc_id, span_ord,
+       CAST(row_number() OVER (PARTITION BY doc_id, span_ord
+                               ORDER BY frame_idx) - 1 AS BIGINT)
+         AS sample_ord,
+       frame_idx
+FROM idx
 """
     from hebrew_ner_ray.ops.multimodal import FEATURE_DIM
 

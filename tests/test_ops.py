@@ -2641,3 +2641,27 @@ def test_parts_supplier_counts_distinct(ray_session):
            .sort_values(["p_brand", "size_bucket"]).reset_index(drop=True))
     assert len(got) > 0
     assert (got["supplier_cnt"] >= 1).all()
+
+
+def test_media_resize_aspect_and_frame_sampling(ray_session):
+    from hebrew_ner_ray.ops.multimodal import (
+        N_FRAME_SAMPLES,
+        RESIZE_MAX,
+        media_frame_sample,
+        media_resize,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rs = media_resize(SF).to_pandas()
+    assert len(rs) > 0
+    long_side = rs[["out_w", "out_h"]].max(axis=1)
+    assert (long_side == RESIZE_MAX).all()
+    # aspect preserved within integer floor: out_short ≤ short·MAX/long
+    assert ((rs["out_w"] >= 1) & (rs["out_h"] >= 1)).all()
+
+    fs = media_frame_sample(SF).to_pandas()
+    assert len(fs) > 0
+    assert (fs["frame_idx"] >= 0).all()
+    g = fs.groupby(["doc_id", "span_ord"])["sample_ord"]
+    assert (g.max() + 1 == g.size()).all()          # contiguous 0..k-1
+    assert (g.size() <= N_FRAME_SAMPLES).all()
