@@ -258,12 +258,17 @@ _Q3_COLS = {"l_orderkey": "int64", "revenue_cents": "int64",
             "o_orderdate": "object", "o_orderpriority": "object"}
 
 
-def shipping_priority(sf_dir: str, k: int = 10):
+def shipping_priority(sf_dir: str, k: int = 10,
+                      broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
     """TPC-H Q3 shape — the one big×big join in the relational family:
 
-    - customer is the SMALL side: segment-filtered keys broadcast once
-      (``ray.put`` of a sorted int64 array, searchsorted membership per
-      batch — same idiom as revenue_by_nation's dimension join).
+    - customer is size-aware (the revenue_by_nation contract): at or
+      under ``broadcast_dim_limit`` rows (metadata count, no read) the
+      segment-filtered keys broadcast once (``ray.put`` of a sorted
+      int64 array, searchsorted membership per batch); above it the
+      segment semi-join runs as a custkey exchange — customer is
+      corpus-growing (150k×SF), so a 100-TB run must not read it on
+      the driver.
     - orders⋈lineitem is big×big: lineitem revenue is pre-aggregated per
       orderkey inside each batch (combiner — the exchange ships order
       partials, not line items), then ONE keyed exchange on orderkey
@@ -282,36 +287,46 @@ def shipping_priority(sf_dir: str, k: int = 10):
         typed_empty,
     )
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    seg = cust.column("c_mktsegment").to_numpy(zero_copy_only=False)
-    keys_ref = ray.put(np.sort(
-        cust.column("c_custkey").to_numpy()[seg == Q3_SEGMENT]))
+    n_customers = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_customers <= broadcast_dim_limit:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        seg = cust.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        keys_ref = ray.put(np.sort(
+            cust.column("c_custkey").to_numpy()[seg == Q3_SEGMENT]))
 
-    class OrderSide:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
+        class OrderSide:
+            def __init__(self):
+                self.keys = ray.get(keys_ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["o_orderdate"].astype(str) < Q3_CUTOFF]
-            if len(self.keys) == 0:
-                b = b.iloc[:0]
-            else:
-                ck = b["o_custkey"].to_numpy()
-                pos = np.searchsorted(self.keys, ck)
-                pos[pos == len(self.keys)] = 0
-                b = b[self.keys[pos] == ck]
-            return pd.DataFrame(
-                {
-                    "l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
-                    "revenue_cents": np.zeros(len(b), dtype=np.int64),
-                    # explicit date-only render (oracle strftime %Y-%m-%d);
-                    # astype(str) would drift to '… 00:00:00' on non-midnight data
-                    "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
-                    "o_orderpriority": b["o_orderpriority"].to_numpy(),
-                    "side": np.zeros(len(b), dtype=np.int64),
-                }
-            )
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                b = b[b["o_orderdate"].astype(str) < Q3_CUTOFF]
+                if len(self.keys) == 0:
+                    b = b.iloc[:0]
+                else:
+                    ck = b["o_custkey"].to_numpy()
+                    pos = np.searchsorted(self.keys, ck)
+                    pos[pos == len(self.keys)] = 0
+                    b = b[self.keys[pos] == ck]
+                return pd.DataFrame(
+                    {
+                        "l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                        "revenue_cents": np.zeros(len(b), dtype=np.int64),
+                        # explicit date-only render (oracle strftime %Y-%m-%d);
+                        # astype(str) would drift to '… 00:00:00' on non-midnight data
+                        "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
+                        "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                        "side": np.zeros(len(b), dtype=np.int64),
+                    }
+                )
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(OrderSide, batch_format="pandas",
+                      concurrency=default_concurrency())
+    else:
+        orders = _q3_orders_exchange(sf_dir)
 
     def line_side(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"].astype(str) > Q3_CUTOFF]
@@ -328,10 +343,6 @@ def shipping_priority(sf_dir: str, k: int = 10):
         g["side"] = np.ones(len(g), dtype=np.int64)
         return g
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(OrderSide, batch_format="pandas", concurrency=default_concurrency())
     lines = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -365,6 +376,70 @@ def shipping_priority(sf_dir: str, k: int = 10):
         )
 
     return small_key_aggregate(partials, final_topk)
+
+
+def _q3_orders_exchange(sf_dir: str):
+    """Exchange arm for Q3's customer dimension: ONE custkey exchange
+    semi-joining date-filtered orders with segment-filtered customers
+    (no driver read, no broadcast), emitting the same side-0 order
+    mid-frame the broadcast arm produces."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _CK = {"c_custkey": "int64", "l_orderkey": "int64", "o_orderdate": "object",
+           "o_orderpriority": "object", "side2": "int64"}
+    _MID = {"l_orderkey": "int64", "revenue_cents": "int64",
+            "o_orderdate": "object", "o_orderpriority": "object", "side": "int64"}
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"].astype(str) < Q3_CUTOFF]
+        return pd.DataFrame(
+            {"c_custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+             "l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
+             "o_orderpriority": b["o_orderpriority"].to_numpy(),
+             "side2": np.zeros(len(b), dtype=np.int64)}
+        ).astype(_CK)
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_mktsegment"] == Q3_SEGMENT]
+        n = len(b)
+        return pd.DataFrame(
+            {"c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+             "l_orderkey": np.zeros(n, dtype=np.int64),
+             "o_orderdate": np.full(n, "", dtype=object),
+             "o_orderpriority": np.full(n, "", dtype=object),
+             "side2": np.ones(n, dtype=np.int64)}
+        ).astype(_CK)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_side, batch_format="pandas")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(cust_side, batch_format="pandas")
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_MID)
+        # c_custkey is a key column, so membership semi-join == inner join
+        keys = np.unique(
+            part.loc[part["side2"] == 1, "c_custkey"].to_numpy(dtype=np.int64))
+        o = part[part["side2"] == 0]
+        _, ok = dim_lookup(keys, o["c_custkey"].to_numpy(dtype=np.int64))
+        o = o[ok]
+        return pd.DataFrame(
+            {"l_orderkey": o["l_orderkey"].to_numpy(dtype=np.int64),
+             "revenue_cents": np.zeros(len(o), dtype=np.int64),
+             "o_orderdate": o["o_orderdate"].to_numpy(),
+             "o_orderpriority": o["o_orderpriority"].to_numpy(),
+             "side": np.zeros(len(o), dtype=np.int64)}
+        ).astype(_MID)
+
+    return bucketed_aggregate(orders.union(cust), ["c_custkey"], join,
+                              coalesce=partitions_for())
 
 
 Q4_LO, Q4_HI = "1997-01-01", "1997-07-01"
@@ -1547,19 +1622,26 @@ _Q7_COLS = {"supp_nation": "object", "cust_nation": "object",
             "l_year": "int64", "revenue_cents": "int64", "n_lineitems": "int64"}
 
 
-def volume_shipping(sf_dir: str):
+_Q7_ROW = {"orderkey": "int64", "nat": "int64", "l_year": "int64",
+           "cents": "int64", "n": "int64", "side": "int64"}
+
+
+def volume_shipping(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
     """TPC-H Q7 shape: revenue flowing BETWEEN nation pairs by ship year
     — the two-dimension-attach join (supplier nation on the lineitem,
     customer nation through orders) with a cross-pair filter.
 
-    Plan: supplier and customer key→nation maps broadcast once
-    (dimension tables — the revenue_by_nation size-aware contract
-    applies at real scale); the big×big lineitem⋈orders hop is the
-    ONE keyed exchange on orderkey, fed by lineitem combiners already
-    pre-aggregated to (orderkey, supp_nation, year) partials. The
-    (nation × nation × year) rollup is tiny and finishes in one task.
-    Only ordered pairs with supp ≠ cust survive (both directions kept,
-    as in Q7)."""
+    Plan: supplier and customer key→nation maps are BOTH size-aware
+    (the revenue_by_nation contract — metadata row count, no driver
+    read above ``broadcast_dim_limit``): under the limit each map is
+    ``ray.put`` once and probed per batch; above it the supplier nation
+    attaches through a suppkey exchange on the lineitem combiners and
+    the customer nation through a custkey exchange on orders. The
+    big×big lineitem⋈orders hop is the ONE keyed exchange on orderkey,
+    fed by lineitem combiners already pre-aggregated to (orderkey,
+    supp_nation, year) partials. The (nation × nation × year) rollup is
+    tiny and finishes in one task. Only ordered pairs with supp ≠ cust
+    survive (both directions kept, as in Q7)."""
     import ray
     import ray.data
 
@@ -1574,75 +1656,85 @@ def volume_shipping(sf_dir: str):
                            columns=["n_nationkey", "n_name"])
     names = dict(zip(nation.column("n_nationkey").to_pylist(),
                      nation.column("n_name").to_pylist()))
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
-    sk = supp.column("s_suppkey").to_numpy()
-    si = np.argsort(sk)
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    ck = cust.column("c_custkey").to_numpy()
-    ci = np.argsort(ck)
-    dim_ref = ray.put((sk[si], supp.column("s_nationkey").to_numpy()[si],
-                       ck[ci], cust.column("c_nationkey").to_numpy()[ci]))
 
-    _ROW = {"orderkey": "int64", "nat": "int64", "l_year": "int64",
-            "cents": "int64", "n": "int64", "side": "int64"}
+    _ROW = _Q7_ROW
     _PART = {"supp_nat": "int64", "cust_nat": "int64", "l_year": "int64",
              "cents": "int64", "n": "int64"}
 
-    class LineSide:
-        def __init__(self):
-            self.sk, self.snat, _, _ = ray.get(dim_ref)
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    if n_supp <= broadcast_dim_limit:
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        sk = supp.column("s_suppkey").to_numpy()
+        si = np.argsort(sk)
+        supp_ref = ray.put((sk[si], supp.column("s_nationkey").to_numpy()[si]))
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
-            b = b[(d >= Q7_LO) & (d < Q7_HI)]
-            if b.empty:
-                return typed_empty(_ROW)
-            pos, ok = dim_lookup(self.sk, b["l_suppkey"].to_numpy())
-            b, pos = b[ok], pos[ok]  # inner join: orphan suppkeys drop
-            if b.empty:
-                return typed_empty(_ROW)
-            cents = np.floor(b["l_extendedprice"].to_numpy()
-                             * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
-            nat = self.snat[pos]
-            g = (pd.DataFrame({
-                "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                "nat": nat.astype(np.int64),
-                "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
-                "cents": cents})
-                .groupby(["orderkey", "nat", "l_year"], as_index=False)
-                .agg(cents=("cents", "sum"), n=("cents", "size")))
-            g["side"] = np.int64(1)
-            return g[list(_ROW)].astype(_ROW)
+        class LineSide:
+            def __init__(self):
+                self.sk, self.snat = ray.get(supp_ref)
 
-    class OrderSide:
-        def __init__(self):
-            _, _, self.ck, self.cnat = ray.get(dim_ref)
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+                b = b[(d >= Q7_LO) & (d < Q7_HI)]
+                if b.empty:
+                    return typed_empty(_ROW)
+                pos, ok = dim_lookup(self.sk, b["l_suppkey"].to_numpy())
+                b, pos = b[ok], pos[ok]  # inner join: orphan suppkeys drop
+                if b.empty:
+                    return typed_empty(_ROW)
+                cents = np.floor(b["l_extendedprice"].to_numpy()
+                                 * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+                nat = self.snat[pos]
+                g = (pd.DataFrame({
+                    "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                    "nat": nat.astype(np.int64),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+                    "cents": cents})
+                    .groupby(["orderkey", "nat", "l_year"], as_index=False)
+                    .agg(cents=("cents", "sum"), n=("cents", "size")))
+                g["side"] = np.int64(1)
+                return g[list(_ROW)].astype(_ROW)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            pos, ok = dim_lookup(self.ck, b["o_custkey"].to_numpy())
-            b, pos = b[ok], pos[ok]  # inner join: orphan custkeys drop
-            nat = self.cnat[pos]
-            n = len(b)
-            return pd.DataFrame({
-                "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
-                "nat": nat.astype(np.int64),
-                "l_year": np.zeros(n, dtype=np.int64),
-                "cents": np.zeros(n, dtype=np.int64),
-                "n": np.zeros(n, dtype=np.int64),
-                "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+        lines = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"]
+        ).map_batches(LineSide, batch_format="pandas",
+                      concurrency=default_concurrency())
+    else:
+        lines = _q7_lines_exchange(sf_dir)
 
-    lines = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-                 "l_shipdate"]
-    ).map_batches(LineSide, batch_format="pandas",
-                  concurrency=default_concurrency())
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(OrderSide, batch_format="pandas",
-                  concurrency=default_concurrency())
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust <= broadcast_dim_limit:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = cust.column("c_custkey").to_numpy()
+        ci = np.argsort(ck)
+        cust_ref = ray.put((ck[ci], cust.column("c_nationkey").to_numpy()[ci]))
+
+        class OrderSide:
+            def __init__(self):
+                self.ck, self.cnat = ray.get(cust_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                pos, ok = dim_lookup(self.ck, b["o_custkey"].to_numpy())
+                b, pos = b[ok], pos[ok]  # inner join: orphan custkeys drop
+                nat = self.cnat[pos]
+                n = len(b)
+                return pd.DataFrame({
+                    "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                    "nat": nat.astype(np.int64),
+                    "l_year": np.zeros(n, dtype=np.int64),
+                    "cents": np.zeros(n, dtype=np.int64),
+                    "n": np.zeros(n, dtype=np.int64),
+                    "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(OrderSide, batch_format="pandas",
+                      concurrency=default_concurrency())
+    else:
+        orders = _q7_orders_exchange(sf_dir)
 
     def join_part(p: pd.DataFrame) -> pd.DataFrame:
         if p.empty:
@@ -1674,6 +1766,133 @@ def volume_shipping(sf_dir: str):
         return out[list(_Q7_COLS)].astype(_Q7_COLS)
 
     return small_key_aggregate(partials, final)
+
+
+def _q7_lines_exchange(sf_dir: str):
+    """Exchange arm for Q7's supplier dimension: lineitem combiners
+    pre-aggregated to (suppkey, orderkey, year) meet supplier rows in a
+    suppkey exchange that attaches the supplier nation, emitting the
+    side-1 (orderkey, supp_nation, year) partials the orderkey exchange
+    consumes — no driver read, no broadcast."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _SK = {"s_suppkey": "int64", "orderkey": "int64", "l_year": "int64",
+           "cents": "int64", "n": "int64", "nat": "int64", "side2": "int64"}
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+        b = b[(d >= Q7_LO) & (d < Q7_HI)]
+        if b.empty:
+            return typed_empty(_SK)
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        g = (pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].to_numpy(dtype=np.int64),
+            "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+            "cents": cents})
+            .groupby(["s_suppkey", "orderkey", "l_year"], as_index=False)
+            .agg(cents=("cents", "sum"), n=("cents", "size")))
+        g["nat"] = np.int64(0)
+        g["side2"] = np.int64(0)
+        return g[list(_SK)].astype(_SK)
+
+    def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"s_suppkey": b["s_suppkey"].to_numpy(dtype=np.int64),
+             "orderkey": np.zeros(n, dtype=np.int64),
+             "l_year": np.zeros(n, dtype=np.int64),
+             "cents": np.zeros(n, dtype=np.int64),
+             "n": np.zeros(n, dtype=np.int64),
+             "nat": b["s_nationkey"].to_numpy(dtype=np.int64),
+             "side2": np.ones(n, dtype=np.int64)}).astype(_SK)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]
+    ).map_batches(line_side, batch_format="pandas")
+    su = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(supp_side, batch_format="pandas")
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q7_ROW)
+        s = part[part["side2"] == 1][["s_suppkey", "nat"]].rename(
+            columns={"nat": "s_nat"})
+        li = part[part["side2"] == 0]
+        m = li.merge(s, on="s_suppkey")  # inner join: orphan suppkeys drop
+        if m.empty:
+            return typed_empty(_Q7_ROW)
+        out = pd.DataFrame(
+            {"orderkey": m["orderkey"].to_numpy(dtype=np.int64),
+             "nat": m["s_nat"].to_numpy(dtype=np.int64),
+             "l_year": m["l_year"].to_numpy(dtype=np.int64),
+             "cents": m["cents"].to_numpy(dtype=np.int64),
+             "n": m["n"].to_numpy(dtype=np.int64),
+             "side": np.ones(len(m), dtype=np.int64)})
+        return out.astype(_Q7_ROW)
+
+    return bucketed_aggregate(li.union(su), ["s_suppkey"], join,
+                              coalesce=partitions_for())
+
+
+def _q7_orders_exchange(sf_dir: str):
+    """Exchange arm for Q7's customer dimension: custkey exchange
+    attaching the customer nation to orders, emitting the side-0
+    (orderkey, cust_nation) rows — no driver read, no broadcast."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    _CK = {"c_custkey": "int64", "orderkey": "int64", "nat": "int64",
+           "side2": "int64"}
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"c_custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+             "orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+             "nat": np.zeros(n, dtype=np.int64),
+             "side2": np.zeros(n, dtype=np.int64)}).astype(_CK)
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+             "orderkey": np.zeros(n, dtype=np.int64),
+             "nat": b["c_nationkey"].to_numpy(dtype=np.int64),
+             "side2": np.ones(n, dtype=np.int64)}).astype(_CK)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(order_side, batch_format="pandas")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_side, batch_format="pandas")
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return typed_empty(_Q7_ROW)
+        c = part[part["side2"] == 1][["c_custkey", "nat"]].rename(
+            columns={"nat": "c_nat"})
+        o = part[part["side2"] == 0][["c_custkey", "orderkey"]]
+        m = o.merge(c, on="c_custkey")  # inner join: orphan custkeys drop
+        n = len(m)
+        return pd.DataFrame(
+            {"orderkey": m["orderkey"].to_numpy(dtype=np.int64),
+             "nat": m["c_nat"].to_numpy(dtype=np.int64),
+             "l_year": np.zeros(n, dtype=np.int64),
+             "cents": np.zeros(n, dtype=np.int64),
+             "n": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_Q7_ROW)
+
+    return bucketed_aggregate(orders.union(cust), ["c_custkey"], join,
+                              coalesce=partitions_for())
 
 
 _DQ_COLS = {"n_orphan_lineitems": "int64", "n_orphan_orders": "int64",

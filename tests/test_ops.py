@@ -1000,6 +1000,38 @@ def test_local_supplier_revenue_exchange_arm_matches_broadcast(ray_session):
         bc.sort_values("n_name").reset_index(drop=True), check_dtype=False)
 
 
+def test_shipping_priority_exchange_arm_matches_broadcast(ray_session):
+    """broadcast_dim_limit=0 forces the custkey-exchange customer arm;
+    the Q3 top-k must be bit-identical to the broadcast arm."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.relational import shipping_priority
+
+    bc = shipping_priority(SF).to_pandas()
+    ex = shipping_priority(SF, broadcast_dim_limit=0).to_pandas()
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(
+        ex.reset_index(drop=True), bc.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_volume_shipping_exchange_arms_match_broadcast(ray_session):
+    """broadcast_dim_limit=0 forces BOTH exchange arms (suppkey exchange
+    for the supplier nation, custkey exchange for the customer nation);
+    the nation-pair × year rollup must match the broadcast arms."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.relational import volume_shipping
+
+    keys = ["supp_nation", "cust_nation", "l_year"]
+    bc = volume_shipping(SF).to_pandas()
+    ex = volume_shipping(SF, broadcast_dim_limit=0).to_pandas()
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(
+        ex.sort_values(keys).reset_index(drop=True),
+        bc.sort_values(keys).reset_index(drop=True), check_dtype=False)
+
+
 def test_triangle_stats_known_graph(ray_session):
     import ray.data
 
