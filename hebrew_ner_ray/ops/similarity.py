@@ -710,6 +710,31 @@ def _kmeans_mstep(C: np.ndarray, sums: pd.DataFrame) -> np.ndarray:
     return New
 
 
+def _bottom_k_vec_ids(path: str, k: int) -> np.ndarray:
+    """Distributed bottom-k over the vec_id column: each block emits its
+    k smallest ids (a k-row partial), one tiny merge task takes the
+    global bottom-k, and only k ids reach the driver — the
+    events_top_users shape applied to seed selection."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(b["vec_id"].to_numpy(dtype=np.int64))[:k]
+        return pd.DataFrame({"vec_id": v})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty({"vec_id": "int64"})
+        v = np.sort(g["vec_id"].to_numpy(dtype=np.int64))[:k]
+        return pd.DataFrame({"vec_id": v}).astype({"vec_id": "int64"})
+
+    parts = ray.data.read_parquet(path, columns=["vec_id"]).map_batches(
+        partial, batch_format="pandas")
+    return np.sort(small_key_aggregate(parts, merge)
+                   .to_pandas()["vec_id"].to_numpy(dtype=np.int64))
+
+
 def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
                  max_rounds: int = KMEANS_MAX_ROUNDS,
                  driver_limit: int = KMEANS_DRIVER_LIMIT):
@@ -736,21 +761,16 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
     meta_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id"]).column("vec_id").to_numpy()
-    seeds = np.sort(ids)[:k]
-    seed_tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", [int(s) for s in seeds])]).to_pandas()
-    seed_tbl = seed_tbl.sort_values("vec_id")
-    C = np.floor(np.stack(seed_tbl["embedding"].to_list()).astype(np.float64)
-                 * 1_000_000).astype(np.int64)
 
     if meta_rows <= driver_limit:
         t = (pq.read_table(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]).to_pandas()
              .sort_values("vec_id").reset_index(drop=True))
         X = _kmeans_micro_of(t)
+        # seeds = the k smallest vec_ids' vectors; t is sorted by vec_id,
+        # so that is exactly the first k rows — bit-identical to the
+        # streaming arm's distributed bottom-k + filtered seed read
+        C = X[:k].copy()
         for _round in range(max_rounds):
             best, _ = _kmeans_assign_to(X, C)
             New = C.copy()
@@ -769,6 +789,18 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
                             "cluster": best.astype(np.int64),
                             "dist2": dist2.astype(np.int64)}).astype(_LLOYD_COLS)
         return ray.data.from_pandas(out)
+
+    # streaming arm: seed ids via distributed bottom-k (per-block k-row
+    # partials + one tiny merge — driver memory O(k), never O(N); the old
+    # full vec_id column pull was the arm's only non-streaming step),
+    # then a row-filtered read of just the k seed vectors
+    seeds = _bottom_k_vec_ids(f"{sf_dir}/embeddings.parquet", k)
+    seed_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(s) for s in seeds])]).to_pandas()
+    seed_tbl = seed_tbl.sort_values("vec_id")
+    C = np.floor(np.stack(seed_tbl["embedding"].to_list()).astype(np.float64)
+                 * 1_000_000).astype(np.int64)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]).materialize()
