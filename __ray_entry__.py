@@ -265,6 +265,40 @@ def _kg_oracles() -> dict[str, str]:
     }
 
 
+def _rotate_for_driver_gate(out: dict) -> dict:
+    """Order queries so families the driver's budgeted correctness gate
+    has never checked come first: names already green in a previous
+    round's ``CORRECTNESS_r*.json`` sort last, and the never-covered
+    names are round-robin interleaved by family prefix so a gate budget
+    of any size touches every family at least once."""
+    import glob
+    import json
+    import os
+    from collections import defaultdict, deque
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    covered: set = set()
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                covered.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    fams: dict = defaultdict(deque)
+    for q in out:
+        if q not in covered:
+            fams[q.split("_", 1)[0]].append(q)
+    order = []
+    queues = deque(fams.values())
+    while queues:
+        qd = queues.popleft()
+        order.append(qd.popleft())
+        if qd:
+            queues.append(qd)
+    order += [q for q in out if q in covered]
+    return {q: out[q] for q in order}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import hebrew_ner_ray
 
@@ -277,7 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(ops_queries())
     except ImportError:
         pass
-    return out
+    return _rotate_for_driver_gate(out)
 
 
 def oracle_sql() -> dict[str, str]:
