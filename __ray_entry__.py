@@ -126,6 +126,13 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
                         sort=False)
         return merge_node_tables(a, b)
 
+    def kg_nodes_snapshot(sf_dir: str):
+        """True base/delta layout (ops/incremental.py): yesterday's node
+        table persisted + manifest-skipped, today's delta merged in."""
+        from hebrew_ner_ray.ops.incremental import kg_nodes_incremental_snapshot
+
+        return kg_nodes_incremental_snapshot(sf_dir)
+
     def kg_edges_incremental(sf_dir: str):
         from hebrew_ner_ray.kg.canonical import merge_edge_tables
 
@@ -135,6 +142,15 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         b = build_edges(ts.map_batches(_half(1), batch_format="pandas"),
                         sort=False)
         return merge_edge_tables(a, b)
+
+    def kg_media_edges(sf_dir: str):
+        """Entity→media co-occurrence edges over the interleaved corpus's
+        multimodal column (kg/canonical.py:build_media_edges)."""
+        from hebrew_ner_ray.kg.canonical import build_media_edges
+
+        return build_media_edges(
+            annotated(sf_dir, "mentions"),
+            flatten_spans(read_interleaved(sf_dir)))
 
     def kg_span_invariant(sf_dir: str):
         import pandas as pd
@@ -222,7 +238,9 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_random_walks": kg_random_walks,
         "kg_weighted_walks": kg_weighted_walks,
         "kg_nodes_incremental": kg_nodes_incremental,
+        "kg_nodes_incremental_snapshot": kg_nodes_snapshot,
         "kg_edges_incremental": kg_edges_incremental,
+        "kg_media_edges": kg_media_edges,
         "kg_span_invariant": kg_span_invariant,
     }
 
@@ -260,7 +278,10 @@ def _kg_oracles() -> dict[str, str]:
         "kg_weighted_walks": o.sql_weighted_walks(),
         # incremental half-builds must reproduce the one-shot oracles
         "kg_nodes_incremental": o.sql_nodes(),
+        # true base/delta layout, same one-shot node oracle
+        "kg_nodes_incremental_snapshot": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),
+        "kg_media_edges": o.sql_media_edges(),
         "kg_span_invariant": o.sql_span_invariant(),
     }
 

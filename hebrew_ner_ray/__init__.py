@@ -45,3 +45,20 @@ def enable_hash_shuffle() -> None:
         DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     except ImportError:  # older ray without the enum — keep the default
         pass
+
+    # ops/shuffle.bucketed_aggregate pins a Ray 2.49 internal (hash-shuffle
+    # finalize emits ONE block per partition). The canary test
+    # (test_hash_shuffle_one_block_per_partition) proves it per-run, but
+    # only when the suite runs — warn loudly at entry-point time on any
+    # other Ray so an upgrade cannot silently bypass the canary.
+    import ray
+
+    if not ray.__version__.startswith("2.49."):
+        import warnings
+
+        warnings.warn(
+            f"hebrew_ner_ray verified the hash-shuffle one-block-per-"
+            f"partition contract on Ray 2.49.x only (running "
+            f"{ray.__version__}); run tests/test_ops.py::"
+            f"test_hash_shuffle_one_block_per_partition before trusting "
+            f"keyed aggregates.", RuntimeWarning, stacklevel=2)

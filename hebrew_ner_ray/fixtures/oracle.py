@@ -230,6 +230,28 @@ GROUP BY subj_id, tr.pred, obj_id
 """
 
 
+def sql_media_edges() -> str:
+    eid = sql_entity_id("m.cat", "m.norm_key")
+    return f"""WITH {CORPUS_CTE},
+{mentions_cte()},
+mentions AS (
+  SELECT a.doc_id, g.cat, g.norm_key
+  FROM attrs a JOIN gold g ON a.t = g.t WHERE a.is_text
+),
+ments AS (
+  SELECT m.doc_id, {eid} AS entity_id, count(*) AS n
+  FROM mentions m GROUP BY m.doc_id, m.cat, m.norm_key
+),
+media AS (
+  SELECT doc_id,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+)
+SELECT e.entity_id, md.media_ref, CAST(e.n AS BIGINT) AS weight
+FROM ments e JOIN media md USING (doc_id)
+"""
+
+
 def sql_groupings() -> str:
     rows = []
     for t, a in enumerate(template_artifacts()):

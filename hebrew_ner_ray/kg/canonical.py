@@ -13,6 +13,7 @@ join against the node table — both sides derive ids independently.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from hebrew_ner_ray.pipelines.stages import add_entity_ids, edge_partials, mention_partials
@@ -252,3 +253,72 @@ def merge_edge_tables(a, b, sort: bool = True):
                              count=u.count())
     merged = merged.select_columns(list(_EDGE_COLS))
     return merged.sort(["subj_id", "pred", "obj_id"]) if sort else merged
+
+
+_MEDIA_EDGE_COLS = {"entity_id": "int64", "media_ref": "object",
+                    "weight": "int64"}
+
+
+def build_media_edges(mentions_ds, media_ds, sort: bool = True):
+    """(entity)→(media_ref) co-occurrence edges: the KG covers the
+    interleaved corpus's multimodal column end-to-end (north-rule input
+    schema — every doc interleaves text and media spans).
+
+    weight = the entity's mention count in the media span's document
+    (a media_ref is content-addressed to one (doc, span), so each
+    (entity_id, media_ref) pair lives wholly inside ONE doc partition
+    and a single doc_id-keyed exchange produces final weights — no
+    second aggregate). Mentions ship as per-batch (doc, entity, n)
+    combiners; media rows are (doc, ref) pairs.
+    """
+    import pandas as pd
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    _ROW = {"doc_id": "object", "entity_id": "int64", "media_ref": "object",
+            "n": "int64", "side": "int64"}
+
+    def mention_rows(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["doc_id", "cat", "norm_key"], as_index=False)
+             .agg(n=("doc_id", "size")))
+        eids = stable_ids([f"{c}|{k}" for c, k in
+                           zip(g["cat"], g["norm_key"])])
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(),
+             "entity_id": eids,
+             "media_ref": np.full(len(g), "", dtype=object),
+             "n": g["n"].to_numpy(dtype=np.int64),
+             "side": np.zeros(len(g), dtype=np.int64)}).astype(_ROW)
+
+    def media_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["kind"] != "text"]
+        m = len(b)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(),
+             "entity_id": np.zeros(m, dtype=np.int64),
+             "media_ref": b["media_ref"].to_numpy(),
+             "n": np.zeros(m, dtype=np.int64),
+             "side": np.ones(m, dtype=np.int64)}).astype(_ROW)
+
+    ments = mentions_ds.map_batches(mention_rows, batch_format="pandas")
+    media = media_ds.map_batches(media_rows, batch_format="pandas")
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_MEDIA_EDGE_COLS)
+        m = p[p["side"] == 0][["doc_id", "entity_id", "n"]]
+        r = p[p["side"] == 1][["doc_id", "media_ref"]]
+        out = m.merge(r, on="doc_id")
+        if out.empty:
+            return typed_empty(_MEDIA_EDGE_COLS)
+        out = out.rename(columns={"n": "weight"})
+        return out[list(_MEDIA_EDGE_COLS)].astype(_MEDIA_EDGE_COLS)
+
+    edges = bucketed_aggregate(ments.union(media), ["doc_id"], join,
+                               coalesce=partitions_for())
+    return edges.sort(["entity_id", "media_ref"]) if sort else edges

@@ -49,6 +49,11 @@ def ops_queries():
     def _wrap(fn):
         return lambda sf_dir: fn(sf_dir)
 
+    def _incremental_snapshot(sf_dir: str):
+        from hebrew_ner_ray.ops.incremental import dedup_incremental_snapshot
+
+        return dedup_incremental_snapshot(sf_dir)
+
     def _docs_map(batch_fn):
         def run(sf_dir: str):
             ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -156,6 +161,7 @@ def ops_queries():
         "doc_len_mad_by_lang": _wrap(textstats.doc_len_mad_by_lang),
         "text_bm25_topk": _wrap(textstats.bm25_topk),
         "dedup_incremental": _wrap(dedup.dedup_incremental),
+        "dedup_incremental_snapshot": _incremental_snapshot,
         "text_entropy": _wrap(textstats.text_entropy),
         "text_repetition": _wrap(textstats.text_repetition),
         "corpus_card": _wrap(textstats.corpus_card),
@@ -1967,4 +1973,7 @@ SELECT doc_id, span_ord, CAST(fj AS BIGINT) AS fj,
        CAST(({feat_v} % 2000001) - 1000000 AS BIGINT) AS comp_micro
 FROM media CROSS JOIN fdims
 """
+    # the snapshot layout reproduces the parity split exactly, so the
+    # true base/delta query shares the parity query's oracle verbatim
+    oracles["dedup_incremental_snapshot"] = oracles["dedup_incremental"]
     return oracles

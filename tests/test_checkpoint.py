@@ -31,6 +31,7 @@ def test_resume_skips_completed(ray_session, tmp_path):
     assert all(r["rows"] > 0 for r in recs)
 
 
+@pytest.mark.gate
 def test_resumable_build_matches_streaming(ray_session, tmp_path):
     from hebrew_ner_ray.pipelines.kg import build_graph, build_graph_resumable
 

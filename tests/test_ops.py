@@ -134,6 +134,7 @@ def test_word_embedder_stage(ray_session):
         load_real_model("wiki.he.bin")
 
 
+@pytest.mark.gate
 def test_label_propagation_long_chain_matches_union_find(ray_session):
     """VERDICT r2 #1: the distributed connected-components arm must be
     exact for components of ANY diameter (the old max_rounds=8 cap
@@ -163,6 +164,7 @@ def test_label_propagation_long_chain_matches_union_find(ray_session):
     assert got == expect
 
 
+@pytest.mark.gate
 def test_dedup_clusters_distributed_arm_matches_driver_arm(ray_session):
     """Force the distributed arm (driver_pair_limit=0) on the real
     fixture and compare against the exact union-find arm."""
@@ -332,6 +334,7 @@ def test_hopping_partials_window_membership():
     assert (out["total_value_micro"] == 2_500_000).all()
 
 
+@pytest.mark.gate
 def test_asof_and_range_randomized_differential(ray_session, tmp_path):
     """400 seeded random events (30 users, coarse ts grid → plenty of
     duplicate timestamps) vs O(n²) brute-force references for both the
@@ -1032,6 +1035,7 @@ def test_volume_shipping_exchange_arms_match_broadcast(ray_session):
         bc.sort_values(keys).reset_index(drop=True), check_dtype=False)
 
 
+@pytest.mark.gate
 def test_triangle_stats_known_graph(ray_session):
     import ray.data
 
@@ -1129,6 +1133,7 @@ def test_nation_coverage_zero_fills_missing_sides(ray_session, tmp_path):
     assert out["n_suppliers"].tolist() == [0, 1, 0]
 
 
+@pytest.mark.gate
 def test_pagerank_matches_integer_reference(ray_session):
     import ray.data
 
@@ -1273,6 +1278,7 @@ def test_merge_node_tables_upsert_semantics(ray_session):
     assert eo["weight"].tolist() == [9, 1]
 
 
+@pytest.mark.gate
 def test_triangle_stats_randomized_vs_bruteforce(ray_session):
     import ray.data
 
@@ -1298,6 +1304,7 @@ def test_triangle_stats_randomized_vs_bruteforce(ray_session):
         assert out["n_wedges"] == int((deg * (deg - 1) // 2).sum())
 
 
+@pytest.mark.gate
 def test_fuzzy_pairs_randomized_vs_bruteforce(ray_session, tmp_path):
     import itertools
 
@@ -1400,6 +1407,7 @@ def test_doc_pack_offsets_contiguous(ray_session, tmp_path):
     assert (out["pos_in_window"] == out["tok_offset"] % 16).all()
 
 
+@pytest.mark.gate
 def test_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
     """Randomized differential gate beyond the fixed sf corpus: random
     events (negative values, duplicate timestamps, sparse props) must
@@ -1687,6 +1695,7 @@ def test_pareto_frontier_dominance(ray_session, tmp_path):
     assert out["min_doc_id"].tolist() == [4, 3]
 
 
+@pytest.mark.gate
 def test_kcore_cascading_peel_rounds(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1829,6 +1838,7 @@ def test_volume_shipping_excludes_domestic(ray_session):
     assert set(out["l_year"]) <= {1996, 1997}
 
 
+@pytest.mark.gate
 def test_bfs_depths_multi_hop_chain(ray_session):
     import ray.data
 
@@ -2148,6 +2158,7 @@ def test_idle_rich_exact_average_boundary(ray_session, tmp_path):
     assert len(out) == 0
 
 
+@pytest.mark.gate
 def test_new_event_ops_randomized_vs_duckdb(ray_session, tmp_path):
     """Same randomized differential harness for the session-3 event
     operators: negative values (dropped/kept per each op's pinned rule),
@@ -2202,6 +2213,7 @@ def test_kmeans_lloyd_arms_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.gate
 def test_shortest_paths_prefers_cheap_long_route(ray_session):
     import ray.data
 
@@ -2221,6 +2233,7 @@ def test_shortest_paths_prefers_cheap_long_route(ray_session):
     assert out["dist"].tolist() == [0, 3, 1, 2]
 
 
+@pytest.mark.gate
 def test_random_walks_deterministic_and_adjacent(ray_session):
     import ray.data
 
@@ -2248,6 +2261,7 @@ def test_random_walks_deterministic_and_adjacent(ray_session):
         assert all((x, y) in und for x, y in zip(path[:-1], path[1:]))
 
 
+@pytest.mark.gate
 def test_late_arrivals_watermark_semantics(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -2271,6 +2285,7 @@ def test_late_arrivals_watermark_semantics(ray_session, tmp_path):
     assert out["n_late"].iloc[0] == 1
 
 
+@pytest.mark.gate
 def test_curation_quality_is_gated_subset(ray_session):
     from hebrew_ner_ray.ops.curation import (
         DUP_MAX_PPM,
@@ -2329,6 +2344,7 @@ def test_zorder_interleave_known_values(ray_session, tmp_path):
     assert out["zcode"].iloc[0] == 0b100111
 
 
+@pytest.mark.gate
 def test_weighted_walks_bias_toward_heavy_edge(ray_session):
     import ray.data
 
@@ -2376,6 +2392,7 @@ def test_iterative_ops_raise_past_safety_bound(ray_session, tmp_path):
         kmeans_lloyd("/root/testdata/sf0.001", max_rounds=1)
 
 
+@pytest.mark.gate
 def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
     """Randomized tables with REAL violations (orphan FKs, empty docs,
     boundary balances) through the session-3 relational family vs DuckDB."""
@@ -2470,6 +2487,7 @@ def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
+@pytest.mark.gate
 def test_text_ops_randomized_vs_duckdb(ray_session, tmp_path):
     """Randomized documents (empty texts, single tokens, heavy dup runs,
     mixed langs) through the session-3 text operators vs DuckDB."""
@@ -2521,6 +2539,7 @@ def test_text_ops_randomized_vs_duckdb(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
+@pytest.mark.gate
 def test_graph_ops_randomized_vs_bruteforce(ray_session):
     """Random weighted graphs ×2 seeds: components, BFS depths, and
     weighted shortest paths vs pure-python union-find / BFS / Dijkstra

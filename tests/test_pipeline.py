@@ -169,6 +169,7 @@ def test_write_graph(ray_session, tmp_path):
         assert n > 0
 
 
+@pytest.mark.gate
 def test_write_graph_single_sink_layout(ray_session):
     """VERDICT r2 #5: write_graph and the config-driven path must share
     the lance_io sink and produce identical layouts."""

@@ -2,7 +2,11 @@
 
 import string
 
+import pytest
 from hypothesis import given, settings
+
+# hypothesis suites are gate-tier: full coverage via `pytest -m gate`
+pytestmark = pytest.mark.gate
 from hypothesis import strategies as st
 
 from hebrew_ner_ray.labels.algebra import (
