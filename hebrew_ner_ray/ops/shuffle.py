@@ -40,6 +40,10 @@ SMALL_AGG_ROWS = 200_000
 # rows per hash partition the per-partition pandas groupby digests
 # comfortably; drives partitions_for's size-aware count
 PARTITION_TARGET_ROWS = 500_000
+# hard per-partition memory bound: one partition = ONE block under the
+# pinned hash-shuffle contract, so a partition must fit a worker heap —
+# only this bound may push the partition count past the cpu count
+PARTITION_MAX_ROWS = 4_000_000
 
 
 def partitions_for(count: int | None = None, lo: int = 4) -> int:
@@ -48,16 +52,22 @@ def partitions_for(count: int | None = None, lo: int = 4) -> int:
     constant (ADVICE r2: a fixed 16/32 means a per-task frame of
     ~data/16 at 100-TB scale).
 
-    - ``count`` known: ceil(count / PARTITION_TARGET_ROWS), clamped to
-      [lo, 16·cpus] so tiny inputs pay a tiny exchange and huge ones
-      still scale with the cluster rather than with key cardinality.
-    - ``count`` unknown: cpus/2. Each hash partition is one aggregator
-      ACTOR in Ray 2.49 — more partitions than cores buys no reduce
-      parallelism and the actor spin-up cost scales with the count
-      (measured: 64 partitions on 32 CPUs turned dedup_jaccard's two
-      exchanges from 5.5 s into 48 s). cpus/2 leaves the other half of
-      the node to the map side feeding the exchange and still grows with
-      the cluster.
+    Each hash partition is one aggregator ACTOR in Ray 2.49 — more
+    partitions than cores buys no reduce parallelism and the spin-up
+    cost scales with the count. Measured on this host (32 CPUs, 20M-row
+    exchange, round 4): 16 and 32 partitions ≈ 10 s; 64 and 128
+    partitions ≈ 29 s — the cliff starts right past the core count
+    (round 2 saw the same: 64 partitions turned dedup_jaccard's two
+    exchanges from 5.5 s into 48 s). So:
+
+    - ``count`` unknown: cpus/2 (leaves the other half of the node to
+      the map side feeding the exchange; grows with the cluster).
+    - ``count`` known: ceil(count / PARTITION_TARGET_ROWS) clamped to
+      [lo, cpus] — tiny inputs pay a tiny exchange, big ones stop at
+      the measured sweet spot — EXCEPT when count/cpus would overflow a
+      partition's block-memory bound (PARTITION_MAX_ROWS): memory
+      correctness beats spin-up cost, so the cap rises to exactly what
+      the bound requires and no further.
     """
     try:
         import ray
@@ -69,7 +79,8 @@ def partitions_for(count: int | None = None, lo: int = 4) -> int:
     if count is None:
         return base
     need = -(-max(count, 1) // PARTITION_TARGET_ROWS)
-    return max(lo, min(need, 16 * cpus))
+    mem_floor = -(-max(count, 1) // PARTITION_MAX_ROWS)
+    return max(lo, min(need, max(cpus, mem_floor)))
 
 # retained for callers that pre-bucket by hand / tests
 DEFAULT_BUCKETS = 4096

@@ -196,6 +196,28 @@ def test_curation_antijoin_arm_matches_broadcast_arm(ray_session):
     pd.testing.assert_frame_equal(bcast, anti)
 
 
+def test_partitions_for_caps_at_cpu_count_unless_memory_bound(ray_session):
+    """Measured round 4 (32 CPUs, 20M-row exchange): 16/32 partitions
+    ≈10 s, 64/128 ≈29 s — counts past the core count only pay actor
+    spin-up. Only the per-partition block-memory bound may exceed it."""
+    import ray
+
+    from hebrew_ner_ray.ops.shuffle import (
+        PARTITION_MAX_ROWS,
+        PARTITION_TARGET_ROWS,
+        partitions_for,
+    )
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # small input: scales with rows, not cpus
+    assert partitions_for(PARTITION_TARGET_ROWS * 2) == max(4, 2)
+    # large input: capped at the core count...
+    assert partitions_for(PARTITION_TARGET_ROWS * cpus * 8) == cpus
+    # ...until a partition would overflow its block-memory bound
+    huge = PARTITION_MAX_ROWS * cpus * 4
+    assert partitions_for(huge) == cpus * 4
+
+
 def test_hash_shuffle_one_block_per_partition(ray_session):
     """CANARY for the pinned Ray 2.49 contract bucketed_aggregate relies
     on: repartition(n, keys) emits ONE block per hash partition even when
