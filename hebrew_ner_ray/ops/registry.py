@@ -135,6 +135,11 @@ def ops_queries():
         "profile_orders": _wrap(relational.profile_table),
         "parts_supplier_counts": _wrap(relational.parts_supplier_counts),
         "small_quantity_revenue": _wrap(relational.small_quantity_revenue),
+        "forecast_revenue": _wrap(relational.forecast_revenue),
+        "priority_lineitem_counts": _wrap(relational.priority_lineitem_counts),
+        "top_supplier_revenue": _wrap(relational.top_supplier_revenue),
+        "brand_quantity_revenue": _wrap(relational.brand_quantity_revenue),
+        "market_share": _wrap(relational.market_share),
         "events_asof_attribution": _wrap(asof.asof_attribution),
         "events_range_count": _wrap(asof.range_join_count),
         "revenue_by_nation": _wrap(relational.revenue_by_nation),
@@ -1972,6 +1977,95 @@ fdims AS (SELECT unnest(range({FEATURE_DIM})) AS fj)
 SELECT doc_id, span_ord, CAST(fj AS BIGINT) AS fj,
        CAST(({feat_v} % 2000001) - 1000000 AS BIGINT) AS comp_micro
 FROM media CROSS JOIN fdims
+"""
+    # Q6 shape: pure filter-aggregate; discounts compared as integer bp
+    oracles["forecast_revenue"] = f"""
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                         AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m-%d') >= '{relational.Q6_LO}'
+  AND strftime(l_shipdate, '%Y-%m-%d') < '{relational.Q6_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+    # Q12 shape: conditional counts over the big-by-big join
+    hi = ", ".join(f"'{{p}}'".format(p=p) for p in relational._HIGH_PRIO)
+    oracles["priority_lineitem_counts"] = f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE strftime(l_shipdate, '%Y-%m-%d') >= '{relational.Q12_LO}'
+  AND strftime(l_shipdate, '%Y-%m-%d') < '{relational.Q12_HI}'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    # Q15 shape: revenue view + global argmax (all ties kept)
+    oracles["top_supplier_revenue"] = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_revenue_cents
+  FROM lineitem
+  WHERE strftime(l_shipdate, '%Y-%m-%d') >= '{relational.Q15_LO}'
+    AND strftime(l_shipdate, '%Y-%m-%d') < '{relational.Q15_HI}'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name,
+       CAST(r.total_revenue_cents AS BIGINT) AS total_revenue_cents
+FROM r JOIN supplier s USING (s_suppkey)
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM r)
+ORDER BY r.s_suppkey
+"""
+    # Q19 shape: OR-of-ANDs predicate groups (first matching group wins,
+    # mirrored by the engine's first-match group assignment)
+    g1, g2, g3 = relational.Q19_GROUPS
+    oracles["brand_quantity_revenue"] = f"""
+WITH pg AS (
+  SELECT p_partkey,
+         CASE WHEN p_brand = '{g1[0]}' AND p_size BETWEEN 1 AND {g1[1]} THEN 1
+              WHEN p_brand = '{g2[0]}' AND p_size BETWEEN 1 AND {g2[1]} THEN 2
+              WHEN p_brand = '{g3[0]}' AND p_size BETWEEN 1 AND {g3[1]} THEN 3
+              ELSE 0 END AS grp
+  FROM part
+)
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN pg ON l_partkey = p_partkey
+WHERE (grp = 1 AND l_quantity BETWEEN {g1[2]} AND {g1[3]})
+   OR (grp = 2 AND l_quantity BETWEEN {g2[2]} AND {g2[3]})
+   OR (grp = 3 AND l_quantity BETWEEN {g3[2]} AND {g3[3]})
+"""
+    # Q8 shape: per-year market-share ppm from exact integer cents
+    oracles["market_share"] = f"""
+WITH rc AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{relational.Q8_REGION}'
+),
+f AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+                                  WHERE n_name = '{relational.Q8_NATION}')
+              THEN 1 ELSE 0 END AS is_target
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN rc ON o_custkey = rc.c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE strftime(l_shipdate, '%Y-%m-%d') >= '{relational.Q8_LO}'
+    AND strftime(l_shipdate, '%Y-%m-%d') < '{relational.Q8_HI}'
+)
+SELECT l_year,
+       CAST(sum(cents * is_target) AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(floor(sum(cents * is_target) * 1000000.0
+                  / greatest(sum(cents), 1)) AS BIGINT) AS share_ppm
+FROM f GROUP BY l_year ORDER BY l_year
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim

@@ -2326,3 +2326,534 @@ def small_quantity_revenue(sf_dir: str):
         ).astype(_Q17_COLS)
 
     return small_key_aggregate(partials, final)
+
+
+Q6_LO, Q6_HI = "1997-01-01", "1998-01-01"
+_Q6_COLS = {"revenue_cents": "int64", "n_lineitems": "int64"}
+
+
+def forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: forecasted revenue delta from a discount change —
+    the pure scan-filter-aggregate (no join at all): lineitems in a ship
+    year with discount 5–7 bp-percent and quantity < 24, revenue =
+    Σ floor(extendedprice · discount · 100). One column-pruned pass,
+    per-batch scalar partials, one tiny reduce — the cheapest possible
+    100-TB plan. Discounts compare as integer basis points
+    (round(d·100)) on both sides so no float boundary can flip a row."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+        bp = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        m = ((d >= Q6_LO) & (d < Q6_HI)
+             & (bp >= 5) & (bp <= 7)
+             & (b["l_quantity"].to_numpy() < 24))
+        b = b[m.to_numpy() if hasattr(m, "to_numpy") else m]
+        if b.empty:
+            return typed_empty(_Q6_COLS)
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"revenue_cents": [np.int64(cents.sum())],
+                             "n_lineitems": [np.int64(len(b))]})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        # one row even when nothing matches (SQL scalar-aggregate shape)
+        return pd.DataFrame(
+            {"revenue_cents": [np.int64(g["revenue_cents"].sum()) if len(g) else np.int64(0)],
+             "n_lineitems": [np.int64(g["n_lineitems"].sum()) if len(g) else np.int64(0)]}
+        ).astype(_Q6_COLS)
+
+    return small_key_aggregate(ds.map_batches(fold, batch_format="pandas"),
+                               final)
+
+
+Q12_LO, Q12_HI = "1996-01-01", "1998-01-01"
+_Q12_COLS = {"l_returnflag": "object", "high_count": "int64",
+             "low_count": "int64"}
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+def priority_lineitem_counts(sf_dir: str):
+    """TPC-H Q12 shape (adapted to this schema: returnflag plays the
+    shipmode role): per return flag, how many shipped lineitems belong
+    to HIGH-priority orders (1-URGENT/2-HIGH) vs lower — the big×big
+    join + conditional-count rollup.
+
+    Both sides are corpus-sized: lineitems ship per-batch (orderkey,
+    flag, n) combiners, orders ship (orderkey, is_high) rows, ONE keyed
+    exchange on orderkey joins them, per-partition partial counts, tiny
+    final reduce."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _ROW = {"orderkey": "int64", "flag": "object", "n": "int64",
+            "is_high": "int64", "side": "int64"}
+    _PART = {"l_returnflag": "object", "high_count": "int64",
+             "low_count": "int64"}
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+        b = b[(d >= Q12_LO) & (d < Q12_HI)]
+        if b.empty:
+            return typed_empty(_ROW)
+        g = (pd.DataFrame({"orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                           "flag": b["l_returnflag"].to_numpy()})
+             .groupby(["orderkey", "flag"], as_index=False)
+             .agg(n=("orderkey", "size")))
+        g["is_high"] = np.int64(0)
+        g["side"] = np.int64(1)
+        return g[list(_ROW)].astype(_ROW)
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["o_orderpriority"].isin(_HIGH_PRIO).to_numpy()
+        n = len(b)
+        return pd.DataFrame(
+            {"orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+             "flag": np.full(n, "", dtype=object),
+             "n": np.zeros(n, dtype=np.int64),
+             "is_high": hi.astype(np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(line_side, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(order_side, batch_format="pandas")
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PART)
+        o = p[p["side"] == 0][["orderkey", "is_high"]]
+        li = p[p["side"] == 1][["orderkey", "flag", "n"]]
+        m = li.merge(o, on="orderkey")
+        if m.empty:
+            return typed_empty(_PART)
+        m["high"] = m["n"] * m["is_high"]
+        m["low"] = m["n"] * (1 - m["is_high"])
+        out = (m.groupby("flag", as_index=False)
+               .agg(high_count=("high", "sum"), low_count=("low", "sum"))
+               .rename(columns={"flag": "l_returnflag"}))
+        return out[list(_PART)].astype(_PART)
+
+    partials = bucketed_aggregate(orders.union(lines), ["orderkey"], join,
+                                  coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q12_COLS)
+        out = (g.groupby("l_returnflag", as_index=False)
+               .agg(high_count=("high_count", "sum"),
+                    low_count=("low_count", "sum")))
+        return (out.sort_values("l_returnflag").reset_index(drop=True)
+                [list(_Q12_COLS)].astype(_Q12_COLS))
+
+    return small_key_aggregate(partials, final)
+
+
+Q15_LO, Q15_HI = "1997-01-01", "1997-07-01"
+_Q15_COLS = {"s_suppkey": "int64", "s_name": "object",
+             "total_revenue_cents": "int64"}
+
+
+def top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a ship
+    window — the view + global-argmax pattern. Supplier revenue totals
+    are corpus-growing, so they come from per-batch combiners + ONE
+    suppkey exchange; each partition emits only its LOCAL max rows
+    (ties kept), and a single tiny merge takes the global max. The
+    winner's name comes from a row-filtered supplier read (O(winners),
+    never a table scan)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _TOT = {"s_suppkey": "int64", "cents": "int64"}
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+        b = b[(d >= Q15_LO) & (d < Q15_HI)]
+        if b.empty:
+            return typed_empty(_TOT)
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return (pd.DataFrame({"s_suppkey": b["l_suppkey"].to_numpy(dtype=np.int64),
+                              "cents": cents})
+                .groupby("s_suppkey", as_index=False)["cents"].sum())
+
+    def local_max(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_TOT)
+        t = p.groupby("s_suppkey", as_index=False)["cents"].sum()
+        return t[t["cents"] == t["cents"].max()].astype(_TOT)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    cand = bucketed_aggregate(ds.map_batches(fold, batch_format="pandas"),
+                              ["s_suppkey"], local_max,
+                              coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q15_COLS)
+        g = g[g["cents"] == g["cents"].max()].sort_values("s_suppkey")
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+            filters=[("s_suppkey", "in", [int(k) for k in g["s_suppkey"]])],
+        ).to_pandas()
+        out = g.merge(sup, on="s_suppkey").rename(
+            columns={"cents": "total_revenue_cents"})
+        return (out.sort_values("s_suppkey").reset_index(drop=True)
+                [list(_Q15_COLS)].astype(_Q15_COLS))
+
+    return small_key_aggregate(cand, final)
+
+
+# Q19-shape disjunctive predicate groups: (brand, max p_size, qty lo-hi)
+Q19_GROUPS = (("Brand#1", 25, 1, 20), ("Brand#2", 35, 10, 30),
+              ("Brand#3", 50, 20, 40))
+_Q19_COLS = {"revenue_cents": "int64", "n_lineitems": "int64"}
+
+
+def brand_quantity_revenue(sf_dir: str,
+                           broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs join predicate —
+    three (brand, size-range, quantity-range) groups, any match keeps
+    the lineitem. The part dimension folds to a single int8 group id
+    per partkey (0 = no group), size-aware like promo_revenue: broadcast
+    under ``broadcast_dim_limit`` (sorted partkey + group array), keyed
+    partkey exchange above it. The quantity range check then rides each
+    lineitem batch vectorized; output is one exact-integer row."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    if n_part > broadcast_dim_limit:
+        return _brand_quantity_exchange(sf_dir)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    order_idx = np.argsort(pk)
+    grp = _part_groups(
+        np.asarray(part.column("p_brand").to_pylist(), dtype=object),
+        part.column("p_size").to_numpy())[order_idx]
+    dim_ref = ray.put((pk[order_idx], grp))
+
+    class Fold:
+        def __init__(self):
+            self.pk, self.grp = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            pos, ok = dim_lookup(self.pk, b["l_partkey"].to_numpy())
+            b, pos = b[ok], pos[ok]  # inner join: orphan partkeys drop
+            if b.empty:
+                return typed_empty(_Q19_COLS)
+            g = self.grp[pos]
+            keep = _qty_in_group(g, b["l_quantity"].to_numpy())
+            b = b[keep]
+            if b.empty:
+                return typed_empty(_Q19_COLS)
+            cents = np.floor(b["l_extendedprice"].to_numpy()
+                             * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+            return pd.DataFrame({"revenue_cents": [np.int64(cents.sum())],
+                                 "n_lineitems": [np.int64(len(b))]})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    partials = ds.map_batches(Fold, batch_format="pandas",
+                              concurrency=default_concurrency())
+    return small_key_aggregate(partials, _q19_final)
+
+
+def _part_groups(brands: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Per-part predicate group id (1-based; 0 = matches no group)."""
+    g = np.zeros(len(brands), dtype=np.int64)
+    for i, (brand, max_size, _lo, _hi) in enumerate(Q19_GROUPS, start=1):
+        m = (brands == brand) & (sizes >= 1) & (sizes <= max_size)
+        g[m & (g == 0)] = i
+    return g
+
+
+def _qty_in_group(g: np.ndarray, qty: np.ndarray) -> np.ndarray:
+    keep = np.zeros(len(g), dtype=bool)
+    for i, (_brand, _sz, lo, hi) in enumerate(Q19_GROUPS, start=1):
+        keep |= (g == i) & (qty >= lo) & (qty <= hi)
+    return keep
+
+
+def _q19_final(g: pd.DataFrame) -> pd.DataFrame:
+    # one row even when nothing matches (the SQL scalar aggregate's shape)
+    if g.empty:
+        return pd.DataFrame({"revenue_cents": [np.int64(0)],
+                             "n_lineitems": [np.int64(0)]}).astype(_Q19_COLS)
+    return pd.DataFrame(
+        {"revenue_cents": [np.int64(g["revenue_cents"].sum())],
+         "n_lineitems": [np.int64(g["n_lineitems"].sum())]}).astype(_Q19_COLS)
+
+
+def _brand_quantity_exchange(sf_dir: str):
+    """Exchange arm: lineitem (partkey, qty, cents) rows ⋈ part groups
+    on partkey — used when the part table exceeds the broadcast limit."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _ROW = {"partkey": "int64", "qty": "float64", "cents": "int64",
+            "grp": "int64", "side": "int64"}
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        n = len(b)
+        return pd.DataFrame(
+            {"partkey": b["l_partkey"].to_numpy(dtype=np.int64),
+             "qty": b["l_quantity"].to_numpy(dtype=np.float64),
+             "cents": cents,
+             "grp": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        g = _part_groups(b["p_brand"].to_numpy(dtype=object),
+                         b["p_size"].to_numpy())
+        keep = g > 0  # parts outside every group can't contribute
+        n = int(keep.sum())
+        return pd.DataFrame(
+            {"partkey": b["p_partkey"].to_numpy(dtype=np.int64)[keep],
+             "qty": np.zeros(n, dtype=np.float64),
+             "cents": np.zeros(n, dtype=np.int64),
+             "grp": g[keep],
+             "side": np.ones(n, dtype=np.int64)}).astype(_ROW)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pandas")
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(part_side, batch_format="pandas")
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_Q19_COLS)
+        pt = p[p["side"] == 1][["partkey", "grp"]].rename(columns={"grp": "g"})
+        li = p[p["side"] == 0][["partkey", "qty", "cents"]]
+        m = li.merge(pt, on="partkey")
+        if m.empty:
+            return typed_empty(_Q19_COLS)
+        keep = _qty_in_group(m["g"].to_numpy(), m["qty"].to_numpy())
+        m = m[keep]
+        if m.empty:
+            return typed_empty(_Q19_COLS)
+        return pd.DataFrame(
+            {"revenue_cents": [np.int64(m["cents"].sum())],
+             "n_lineitems": [np.int64(len(m))]}).astype(_Q19_COLS)
+
+    partials = bucketed_aggregate(lines.union(parts), ["partkey"], join,
+                                  coalesce=partitions_for())
+    return small_key_aggregate(partials, _q19_final)
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_8"
+Q8_LO, Q8_HI = "1996-01-01", "1998-01-01"
+_Q8_COLS = {"l_year": "int64", "nation_cents": "int64",
+            "total_cents": "int64", "share_ppm": "int64"}
+
+
+def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
+    """TPC-H Q8 shape: a supplier nation's market share, per ship year,
+    of all revenue sold into one region's customer market — the
+    two-dimension-attach ratio query. Same distributed plan as Q7:
+    supplier nation rides the lineitem combiners (size-aware broadcast /
+    suppkey exchange), customer REGION membership rides orders
+    (size-aware broadcast / custkey exchange), they meet in ONE orderkey
+    exchange. The share is integer ppm from exact cent sums."""
+    import ray
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"].astype("int64"))
+    region_nations = np.sort(
+        nat.loc[nat["n_regionkey"].astype("int64").isin(rkeys),
+                "n_nationkey"].to_numpy(dtype=np.int64))
+    target_nat = int(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"].iloc[0])
+
+    _ROW = {"orderkey": "int64", "is_target": "int64", "l_year": "int64",
+            "cents": "int64", "side": "int64"}
+    _PART = {"l_year": "int64", "nation_cents": "int64", "total_cents": "int64"}
+
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    if n_supp <= broadcast_dim_limit:
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        sk = supp.column("s_suppkey").to_numpy()
+        si = np.argsort(sk)
+        supp_ref = ray.put((sk[si], supp.column("s_nationkey").to_numpy()[si]))
+
+        class LineSide:
+            def __init__(self):
+                self.sk, self.snat = ray.get(supp_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
+                b = b[(d >= Q8_LO) & (d < Q8_HI)]
+                if b.empty:
+                    return typed_empty(_ROW)
+                pos, ok = dim_lookup(self.sk, b["l_suppkey"].to_numpy())
+                b, pos = b[ok], pos[ok]
+                if b.empty:
+                    return typed_empty(_ROW)
+                cents = np.floor(
+                    b["l_extendedprice"].to_numpy()
+                    * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+                g = (pd.DataFrame({
+                    "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                    "is_target": (self.snat[pos] == target_nat).astype(np.int64),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+                    "cents": cents})
+                    .groupby(["orderkey", "is_target", "l_year"], as_index=False)
+                    ["cents"].sum())
+                g["side"] = np.int64(1)
+                return g[list(_ROW)].astype(_ROW)
+
+        lines = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+        ).map_batches(LineSide, batch_format="pandas",
+                      concurrency=default_concurrency())
+    else:
+        lines = _q8_lines_exchange(sf_dir, target_nat)
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust <= broadcast_dim_limit:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust[cust["c_nationkey"].astype("int64").isin(
+            set(region_nations.tolist()))]
+        ckeys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
+
+        class OrderSide:
+            def __init__(self):
+                self.keys = ray.get(ckeys_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                _, ok = dim_lookup(self.keys,
+                                   b["o_custkey"].to_numpy(dtype=np.int64))
+                b = b[ok]
+                n = len(b)
+                return pd.DataFrame(
+                    {"orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                     "is_target": np.zeros(n, dtype=np.int64),
+                     "l_year": np.zeros(n, dtype=np.int64),
+                     "cents": np.zeros(n, dtype=np.int64),
+                     "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        ).map_batches(OrderSide, batch_format="pandas",
+                      concurrency=default_concurrency())
+    else:
+        orders = _q8_orders_exchange(sf_dir, region_nations)
+
+    def join(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PART)
+        ok = set(p.loc[p["side"] == 0, "orderkey"])
+        li = p[(p["side"] == 1) & p["orderkey"].isin(ok)]
+        if li.empty:
+            return typed_empty(_PART)
+        li = li.assign(nation_cents=li["cents"] * li["is_target"])
+        out = (li.groupby("l_year", as_index=False)
+               .agg(nation_cents=("nation_cents", "sum"),
+                    total_cents=("cents", "sum")))
+        return out[list(_PART)].astype(_PART)
+
+    partials = bucketed_aggregate(orders.union(lines), ["orderkey"], join,
+                                  coalesce=partitions_for())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_Q8_COLS)
+        out = (g.groupby("l_year", as_index=False)
+               .agg(nation_cents=("nation_cents", "sum"),
+                    total_cents=("total_cents", "sum")))
+        t = out["total_cents"].to_numpy()
+        n = out["nation_cents"].to_numpy()
+        out["share_ppm"] = np.where(
+            t > 0, np.floor(n * 1_000_000.0 / np.maximum(t, 1)), 0
+        ).astype(np.int64)
+        return (out.sort_values("l_year").reset_index(drop=True)
+                [list(_Q8_COLS)].astype(_Q8_COLS))
+
+    return small_key_aggregate(partials, final)
+
+
+def _q8_lines_exchange(sf_dir: str, target_nat: int):
+    """Q8 supplier exchange arm: reuse Q7's suppkey exchange, then fold
+    the attached nation to the is_target flag."""
+    li = _q7_lines_exchange(sf_dir)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"orderkey": b["orderkey"].to_numpy(dtype=np.int64),
+             "is_target": (b["nat"].to_numpy() == target_nat).astype(np.int64),
+             "l_year": b["l_year"].to_numpy(dtype=np.int64),
+             "cents": b["cents"].to_numpy(dtype=np.int64),
+             "side": np.ones(len(b), dtype=np.int64)})
+
+    return li.map_batches(fold, batch_format="pandas")
+
+
+def _q8_orders_exchange(sf_dir: str, region_nations: np.ndarray):
+    """Q8 customer exchange arm: Q7's custkey exchange, filtered to the
+    region's nations and folded to the order-side row shape."""
+    od = _q7_orders_exchange(sf_dir)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[np.isin(b["nat"].to_numpy(), region_nations)]
+        n = len(b)
+        return pd.DataFrame(
+            {"orderkey": b["orderkey"].to_numpy(dtype=np.int64),
+             "is_target": np.zeros(n, dtype=np.int64),
+             "l_year": np.zeros(n, dtype=np.int64),
+             "cents": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)})
+
+    return od.map_batches(fold, batch_format="pandas")

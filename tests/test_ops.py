@@ -1040,6 +1040,31 @@ def test_shipping_priority_exchange_arm_matches_broadcast(ray_session):
         check_dtype=False)
 
 
+def test_brand_quantity_revenue_exchange_arm_matches_broadcast(ray_session):
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.relational import brand_quantity_revenue
+
+    bc = brand_quantity_revenue(SF).to_pandas()
+    ex = brand_quantity_revenue(SF, broadcast_dim_limit=0).to_pandas()
+    assert int(bc["n_lineitems"].iloc[0]) > 0
+    pd.testing.assert_frame_equal(ex.reset_index(drop=True),
+                                  bc.reset_index(drop=True), check_dtype=False)
+
+
+def test_market_share_exchange_arms_match_broadcast(ray_session):
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.relational import market_share
+
+    bc = market_share(SF).to_pandas()
+    ex = market_share(SF, broadcast_dim_limit=0).to_pandas()
+    assert len(bc) > 0
+    assert (bc["nation_cents"] <= bc["total_cents"]).all()
+    pd.testing.assert_frame_equal(ex.reset_index(drop=True),
+                                  bc.reset_index(drop=True), check_dtype=False)
+
+
 def test_volume_shipping_exchange_arms_match_broadcast(ray_session):
     """broadcast_dim_limit=0 forces BOTH exchange arms (suppkey exchange
     for the supplier nation, custkey exchange for the customer nation);
