@@ -143,6 +143,13 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
                         sort=False)
         return merge_edge_tables(a, b)
 
+    def kg_entity_cooccurrence(sf_dir: str):
+        """Doc-level entity co-occurrence graph
+        (kg/canonical.py:build_entity_cooccurrence)."""
+        from hebrew_ner_ray.kg.canonical import build_entity_cooccurrence
+
+        return build_entity_cooccurrence(annotated(sf_dir, "mentions"))
+
     def kg_media_edges(sf_dir: str):
         """Entity→media co-occurrence edges over the interleaved corpus's
         multimodal column (kg/canonical.py:build_media_edges)."""
@@ -241,6 +248,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_incremental_snapshot": kg_nodes_snapshot,
         "kg_edges_incremental": kg_edges_incremental,
         "kg_media_edges": kg_media_edges,
+        "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "kg_span_invariant": kg_span_invariant,
     }
 
@@ -282,6 +290,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_nodes_incremental_snapshot": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),
         "kg_media_edges": o.sql_media_edges(),
+        "kg_entity_cooccurrence": o.sql_entity_cooccurrence(),
         "kg_span_invariant": o.sql_span_invariant(),
     }
 

@@ -252,6 +252,26 @@ FROM ments e JOIN media md USING (doc_id)
 """
 
 
+def sql_entity_cooccurrence() -> str:
+    eid = sql_entity_id("m.cat", "m.norm_key")
+    return f"""WITH {CORPUS_CTE},
+{mentions_cte()},
+mentions AS (
+  SELECT a.doc_id, g.cat, g.norm_key
+  FROM attrs a JOIN gold g ON a.t = g.t WHERE a.is_text
+),
+ment AS (
+  SELECT DISTINCT m.doc_id, {eid} AS entity_id FROM mentions m
+),
+ok AS (SELECT doc_id FROM ment GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64)
+SELECT x.entity_id AS a_id, y.entity_id AS b_id,
+       CAST(count(*) AS BIGINT) AS weight
+FROM ment x JOIN ok USING (doc_id)
+JOIN ment y ON x.doc_id = y.doc_id AND x.entity_id < y.entity_id
+GROUP BY 1, 2
+"""
+
+
 def sql_groupings() -> str:
     rows = []
     for t, a in enumerate(template_artifacts()):

@@ -322,3 +322,72 @@ def build_media_edges(mentions_ds, media_ds, sort: bool = True):
     edges = bucketed_aggregate(ments.union(media), ["doc_id"], join,
                                coalesce=partitions_for())
     return edges.sort(["entity_id", "media_ref"]) if sort else edges
+
+
+ENTITY_PAIR_DOC_CAP = 64  # docs with more distinct entities are excluded
+# (pair blowup is quadratic in per-doc entities — the hot-shingle-cap
+# idiom from dedup_jaccard, mirrored exactly by the SQL twin's HAVING)
+_COOC_COLS = {"a_id": "int64", "b_id": "int64", "weight": "int64"}
+
+
+def build_entity_cooccurrence(mentions_ds, sort: bool = True):
+    """Doc-level entity co-occurrence graph: (a_id, b_id, weight) for
+    every unordered pair of DISTINCT entities sharing a document,
+    weight = number of shared documents — the doc-window companion to
+    the sentence-window triple edges.
+
+    Two exchanges: doc_id co-locates a document's mentions (distinct
+    entity set + pair expansion happen inside the complete-doc
+    partition, bounded by ENTITY_PAIR_DOC_CAP), then a pair-keyed
+    exchange sums weights across documents."""
+    import pandas as pd
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    _ME = {"doc_id": "object", "entity_id": "int64"}
+
+    def ment_rows(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[["doc_id", "cat", "norm_key"]].drop_duplicates()
+        eids = stable_ids([f"{c}|{k}" for c, k in zip(g["cat"], g["norm_key"])])
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "entity_id": eids}).astype(_ME)
+
+    def pairs(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_COOC_COLS)
+        p = p.drop_duplicates()  # cross-batch duplicate (doc, entity) rows
+        rows_a, rows_b = [], []
+        for _, grp in p.groupby("doc_id", sort=False):
+            e = np.sort(grp["entity_id"].to_numpy())
+            if len(e) < 2 or len(e) > ENTITY_PAIR_DOC_CAP:
+                continue
+            i, j = np.triu_indices(len(e), k=1)
+            rows_a.append(e[i])
+            rows_b.append(e[j])
+        if not rows_a:
+            return typed_empty(_COOC_COLS)
+        out = (pd.DataFrame({"a_id": np.concatenate(rows_a),
+                             "b_id": np.concatenate(rows_b)})
+               .groupby(["a_id", "b_id"], as_index=False).size()
+               .rename(columns={"size": "weight"}))
+        return out[list(_COOC_COLS)].astype(_COOC_COLS)
+
+    ments = mentions_ds.map_batches(ment_rows, batch_format="pandas")
+    partials = bucketed_aggregate(ments, ["doc_id"], pairs,
+                                  coalesce=partitions_for())
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_COOC_COLS)
+        return (g.groupby(["a_id", "b_id"], as_index=False)
+                .agg(weight=("weight", "sum"))[list(_COOC_COLS)]
+                .astype(_COOC_COLS))
+
+    edges = bucketed_aggregate(partials, ["a_id", "b_id"], reduce,
+                               coalesce=partitions_for())
+    return edges.sort(["a_id", "b_id"]) if sort else edges

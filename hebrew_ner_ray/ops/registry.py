@@ -110,6 +110,7 @@ def ops_queries():
         "events_props_stats": _wrap(windows.events_props_stats),
         "events_window_distinct": _wrap(windows.events_window_distinct),
         "events_running_total": _wrap(windows.events_running_total),
+        "events_rolling_window": _wrap(windows.events_rolling_window),
         "events_mode_type": _wrap(windows.events_mode_type),
         "events_sufficient_stats": _wrap(windows.events_sufficient_stats),
         "events_user_setops": _wrap(windows.events_user_setops),
@@ -2066,6 +2067,19 @@ SELECT l_year,
        CAST(floor(sum(cents * is_target) * 1000000.0
                   / greatest(sum(cents), 1)) AS BIGINT) AS share_ppm
 FROM f GROUP BY l_year ORDER BY l_year
+"""
+    # RANGE frame (peer-inclusive): tied timestamps share the frame, so
+    # no tie-break enters the semantics
+    oracles["events_rolling_window"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_micro,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim

@@ -1378,3 +1378,62 @@ def events_zorder(sf_dir: str, bits: int = ZORDER_BITS):
             "x": x, "y": y, "zcode": z}).astype(_Z_COLS)
 
     return ds.map_batches(code, batch_format="pandas")
+
+
+ROLLING_WINDOW_US = 3_600_000_000  # 1 hour
+_ROLL_COLS = {"event_id": "int64", "user_id": "int64", "ts_us": "int64",
+              "win_sum_micro": "int64", "win_n": "int64"}
+
+
+def events_rolling_window(sf_dir: str):
+    """Per-user RANGE-frame rolling aggregates: for every event, the sum
+    and count of the user's events in the preceding hour INCLUDING all
+    timestamp peers (SQL ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW`` — peers of the current row belong to the frame, so
+    tied timestamps share identical window values; no tie-break enters
+    the semantics).
+
+    Same partitioning contract as events_running_total: ONE user_id
+    exchange; inside each complete-user partition one mergesort by
+    (user, ts), per-user prefix sums, and two searchsorted probes give
+    every frame in O(n log n) — never a per-event rescan of the hour."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": b["event_id"], "user_id": b["user_id"],
+             "ts_us": _epoch_us(b["ts"]), "value_micro": _micro(b["value"])})
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_ROLL_COLS)
+        p = p.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        u = p["user_id"].to_numpy()
+        t = p["ts_us"].to_numpy()
+        v = p["value_micro"].to_numpy()
+        sums = np.empty(len(p), dtype=np.int64)
+        cnts = np.empty(len(p), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, len(p)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts_seg = t[s:e]
+            csum = np.concatenate(([0], np.cumsum(v[s:e], dtype=np.int64)))
+            lo = np.searchsorted(ts_seg, ts_seg - ROLLING_WINDOW_US, side="left")
+            hi = np.searchsorted(ts_seg, ts_seg, side="right")  # peers in
+            sums[s:e] = csum[hi] - csum[lo]
+            cnts[s:e] = hi - lo
+        out = pd.DataFrame(
+            {"event_id": p["event_id"].to_numpy(dtype=np.int64),
+             "user_id": u, "ts_us": t,
+             "win_sum_micro": sums, "win_n": cnts})
+        return out[list(_ROLL_COLS)].astype(_ROLL_COLS)
+
+    return bucketed_aggregate(ds.map_batches(project, batch_format="pandas"),
+                              ["user_id"], per_partition,
+                              coalesce=partitions_for())

@@ -984,6 +984,55 @@ def test_heavy_hitters_by_lang_stratified_topk(ray_session, tmp_path):
     assert en["rnk"].tolist() == [1, 2]
 
 
+def test_rolling_window_range_frame_peers_and_expiry(ray_session, tmp_path):
+    """RANGE-frame semantics: timestamp peers share one frame; events
+    older than exactly one hour fall out (boundary is inclusive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_rolling_window
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    hr = pd.Timedelta(hours=1)
+    t = pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pa.array([base, base + hr, base + hr,  # 2,3 are peers
+                        base + hr + pd.Timedelta(microseconds=1),
+                        base + 3 * hr], type=pa.timestamp("us")),
+        "user_id": [7, 7, 7, 7, 7],
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = (events_rolling_window(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # e1: itself. e2/e3: peers — both frames = {e1,e2,e3} (boundary ts
+    # exactly 1h back is INCLUDED). e4: 1h+1µs after e1 → e1 expired,
+    # frame {e2,e3,e4}. e5: 2h after peers → only itself.
+    assert out["win_sum_micro"].tolist() == [
+        1_000_000, 7_000_000, 7_000_000, 14_000_000, 16_000_000]
+    assert out["win_n"].tolist() == [1, 3, 3, 3, 1]
+
+
+def test_entity_cooccurrence_known_docs(ray_session):
+    """Hand-built mention rows: pair weights count shared docs; a doc
+    with one entity contributes nothing."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.canonical import build_entity_cooccurrence
+    from hebrew_ner_ray.kg.ids import entity_id
+
+    m = pd.DataFrame({
+        "doc_id": ["d1", "d1", "d1", "d2", "d2", "d3"],
+        "cat": ["PER", "LOC", "PER", "PER", "LOC", "PER"],
+        "norm_key": ["a", "b", "a", "a", "b", "a"],  # d1 dups entity a
+    })
+    out = build_entity_cooccurrence(ray.data.from_pandas(m)).to_pandas()
+    ea, eb = entity_id("PER", "a"), entity_id("LOC", "b")
+    lo, hi = min(ea, eb), max(ea, eb)
+    assert out.to_dict("records") == [
+        {"a_id": lo, "b_id": hi, "weight": 2}]
+
+
 def test_running_total_tiebreak_and_first_gap(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
