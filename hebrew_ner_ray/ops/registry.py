@@ -96,6 +96,7 @@ def ops_queries():
         "sim_kmeans_assign": _wrap(similarity.kmeans_assign),
         "sim_kmeans_lloyd": _wrap(similarity.kmeans_lloyd),
         "sim_ann_topk_filtered": _wrap(similarity.ann_topk_filtered),
+        "sim_range_search": _wrap(similarity.range_search),
         "events_daily_trend": _wrap(windows.events_daily_trend),
         "events_throttled": _wrap(windows.events_throttled),
         "events_late_arrivals": _wrap(windows.events_late_arrivals),
@@ -2080,6 +2081,16 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+    # radius search: every pair at cosine >= tau, self excluded
+    oracles["sim_range_search"] = f"""
+SELECT CAST(q.vec_id AS BIGINT) AS query_id, CAST(v.vec_id AS BIGINT) AS vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(v.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings q JOIN embeddings v ON q.vec_id != v.vec_id
+WHERE q.vec_id < {similarity.N_QUERIES}
+  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(v.embedding AS DOUBLE[])) >= {similarity.RANGE_TAU}
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim

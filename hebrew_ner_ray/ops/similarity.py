@@ -919,3 +919,50 @@ def ann_topk_filtered(sf_dir: str):
         concurrency=default_concurrency(),
     )
     return grouped_exchange(local, ["query_id"], _final_topk, n_partitions=1)
+
+
+RANGE_TAU = 0.3
+_RANGE_COLS = {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
+
+
+class RangeScorer:
+    """Actor: broadcast query matrix; emits every (query, vec) pair at
+    cosine ≥ τ — radius search, the retrieval mode where the caller wants
+    ALL matches, not the k best. No merge stage exists at all: the result
+    is row-filtered at the map and streams straight to the sink."""
+
+    def __init__(self, query_ref, tau: float = RANGE_TAU):
+        import ray
+
+        self.qids, self.qmat = ray.get(query_ref)
+        self.tau = tau
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from hebrew_ner_ray.ops.shuffle import typed_empty
+
+        ids, mat = _batch_matrix(batch)
+        scores = self.qmat @ mat.T  # (n_queries, batch)
+        qi, vj = np.nonzero((scores >= self.tau)
+                            & (self.qids[:, None] != ids[None, :]))
+        if len(qi) == 0:
+            return typed_empty(_RANGE_COLS)
+        return pd.DataFrame(
+            {"query_id": self.qids[qi].astype(np.int64),
+             "vec_id": ids[vj].astype(np.int64),
+             "cosine": np.round(scores[qi, vj], 6)}).astype(_RANGE_COLS)
+
+
+def range_search(sf_dir: str, tau: float = RANGE_TAU):
+    import ray
+    import ray.data
+
+    query_ref = ray.put(_load_queries(sf_dir))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        RangeScorer,
+        fn_constructor_kwargs={"query_ref": query_ref, "tau": tau},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=default_concurrency(),
+    )
