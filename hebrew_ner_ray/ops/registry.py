@@ -54,6 +54,16 @@ def ops_queries():
 
         return dedup_incremental_snapshot(sf_dir)
 
+    def _formats_jsonl(sf_dir: str):
+        from hebrew_ner_ray.ops.formats import docs_jsonl_stats
+
+        return docs_jsonl_stats(sf_dir)
+
+    def _formats_csv(sf_dir: str):
+        from hebrew_ner_ray.ops.formats import events_csv_stats
+
+        return events_csv_stats(sf_dir)
+
     def _docs_map(batch_fn):
         def run(sf_dir: str):
             ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -97,6 +107,8 @@ def ops_queries():
         "sim_kmeans_lloyd": _wrap(similarity.kmeans_lloyd),
         "sim_ann_topk_filtered": _wrap(similarity.ann_topk_filtered),
         "sim_range_search": _wrap(similarity.range_search),
+        "docs_jsonl_stats": _formats_jsonl,
+        "events_csv_stats": _formats_csv,
         "events_daily_trend": _wrap(windows.events_daily_trend),
         "events_throttled": _wrap(windows.events_throttled),
         "events_late_arrivals": _wrap(windows.events_late_arrivals),
@@ -2091,6 +2103,19 @@ FROM embeddings q JOIN embeddings v ON q.vec_id != v.vec_id
 WHERE q.vec_id < {similarity.N_QUERIES}
   AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                              CAST(v.embedding AS DOUBLE[])) >= {similarity.RANGE_TAU}
+"""
+    # text-format roundtrips: oracle reads the ORIGINAL parquet — the
+    # aggregate only hash-matches if the jsonl/csv roundtrip is lossless
+    oracles["docs_jsonl_stats"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+    oracles["events_csv_stats"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micro
+FROM events GROUP BY event_type ORDER BY event_type
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim
