@@ -150,6 +150,14 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return build_entity_cooccurrence(annotated(sf_dir, "mentions"))
 
+    def kg_degree_distribution(sf_dir: str):
+        """Degree histogram of the canonical graph
+        (kg/graphstats.py:degree_distribution)."""
+        from hebrew_ner_ray.kg.graphstats import degree_distribution
+
+        return degree_distribution(build_edges(annotated(sf_dir, "triples"),
+                                               sort=False))
+
     def kg_media_edges(sf_dir: str):
         """Entity→media co-occurrence edges over the interleaved corpus's
         multimodal column (kg/canonical.py:build_media_edges)."""
@@ -247,6 +255,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_incremental": kg_nodes_incremental,
         "kg_nodes_incremental_snapshot": kg_nodes_snapshot,
         "kg_edges_incremental": kg_edges_incremental,
+        "kg_degree_distribution": kg_degree_distribution,
         "kg_media_edges": kg_media_edges,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "kg_span_invariant": kg_span_invariant,
@@ -289,6 +298,7 @@ def _kg_oracles() -> dict[str, str]:
         # true base/delta layout, same one-shot node oracle
         "kg_nodes_incremental_snapshot": o.sql_nodes(),
         "kg_edges_incremental": o.sql_edges(),
+        "kg_degree_distribution": o.sql_degree_distribution(),
         "kg_media_edges": o.sql_media_edges(),
         "kg_entity_cooccurrence": o.sql_entity_cooccurrence(),
         "kg_span_invariant": o.sql_span_invariant(),

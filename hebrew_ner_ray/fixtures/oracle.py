@@ -252,6 +252,20 @@ FROM ments e JOIN media md USING (doc_id)
 """
 
 
+def sql_degree_distribution() -> str:
+    return f"""WITH e AS ({sql_edges()}),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT subj_id AS node FROM e
+    UNION ALL SELECT obj_id AS node FROM e)
+  GROUP BY node
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
 def sql_entity_cooccurrence() -> str:
     eid = sql_entity_id("m.cat", "m.norm_key")
     return f"""WITH {CORPUS_CTE},

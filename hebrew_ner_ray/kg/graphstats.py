@@ -816,3 +816,54 @@ def weighted_random_walks(edges_ds, walk_len: int = WALK_LEN):
 
     return out.map_batches(lambda b: b[list(_WALK_COLS)].astype(_WALK_COLS),
                            batch_format="pandas")
+
+
+_DEGDIST_COLS = {"degree": "int64", "n_nodes": "int64"}
+
+
+def degree_distribution(edges_ds):
+    """Degree histogram of the canonical graph: how many nodes have each
+    total degree (incident distinct edge rows, both directions). Node
+    degrees are corpus-growing → bucketed node-keyed count; the
+    histogram itself is model-sized → one tiny reduce."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        small_key_aggregate,
+        typed_empty,
+    )
+
+    _D = {"node": "int64", "degree": "int64"}
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([b["subj_id"].to_numpy(dtype=np.int64),
+                                b["obj_id"].to_numpy(dtype=np.int64)])
+        g = (pd.DataFrame({"node": nodes})
+             .groupby("node", as_index=False).size()
+             .rename(columns={"size": "degree"}))
+        return g.astype(_D)
+
+    def per_node(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_D)
+        return (p.groupby("node", as_index=False)
+                .agg(degree=("degree", "sum")).astype(_D))
+
+    deg = bucketed_aggregate(edges_ds.map_batches(endpoints, batch_format="pandas"),
+                             ["node"], per_node, coalesce=partitions_for())
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("degree", as_index=False).size()
+                .rename(columns={"size": "n_nodes"}).astype(_DEGDIST_COLS))
+
+    def hist_final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_DEGDIST_COLS)
+        out = g.groupby("degree", as_index=False).agg(n_nodes=("n_nodes", "sum"))
+        return (out.sort_values("degree").reset_index(drop=True)
+                [list(_DEGDIST_COLS)].astype(_DEGDIST_COLS))
+
+    return small_key_aggregate(
+        deg.map_batches(hist_partial, batch_format="pandas"), hist_final)

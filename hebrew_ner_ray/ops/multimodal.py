@@ -258,3 +258,37 @@ def media_frame_sample(sf_dir: str):
     return decoded.map_batches(FrameSampler, batch_format="pyarrow",
                                batch_size=512,
                                concurrency=default_concurrency())
+
+
+_KIND_COLS = {"kind": "object", "n_spans": "int64", "total_pixels": "int64",
+              "total_frames": "int64"}
+
+
+def media_kind_stats(sf_dir: str):
+    """Per-kind media profile: span count, total decoded pixels, total
+    frames — the dataset-card row for the multimodal column, computed
+    THROUGH the decode stage (per-batch combiner → tiny keyed reduce)."""
+    import pandas as pd
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    def partial(b) -> "pd.DataFrame":
+        df = b.to_pandas() if not isinstance(b, pd.DataFrame) else b
+        df = df.assign(px=df["width"].astype("int64") * df["height"].astype("int64"))
+        return (df.groupby("kind", as_index=False)
+                .agg(n_spans=("px", "size"), total_pixels=("px", "sum"),
+                     total_frames=("n_frames", "sum")))
+
+    def reduce(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return typed_empty(_KIND_COLS)
+        out = (g.groupby("kind", as_index=False)
+               .agg(n_spans=("n_spans", "sum"),
+                    total_pixels=("total_pixels", "sum"),
+                    total_frames=("total_frames", "sum")))
+        return (out.sort_values("kind").reset_index(drop=True)
+                [list(_KIND_COLS)].astype(_KIND_COLS))
+
+    decoded = media_decode(sf_dir)
+    return small_key_aggregate(
+        decoded.map_batches(partial, batch_format="pandas"), reduce)

@@ -193,6 +193,7 @@ def ops_queries():
         # media_feature_components unnest query below
         "media_feature_norms": _wrap(multimodal.media_feature_norms),
         "media_feature_components": _wrap(multimodal.media_feature_components),
+        "media_kind_stats": _wrap(multimodal.media_kind_stats),
         "corpus_curation": _curation,
         "corpus_curation_quality": _curation_quality,
     }
@@ -1911,6 +1912,28 @@ SELECT doc_id, span_ord, kind, media_ref,
        CAST(CASE WHEN kind = 'image' THEN 16 + {media_h} % 2048 ELSE 0 END AS BIGINT) AS height,
        CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1000 + {media_d} % 600000 END AS BIGINT) AS n_frames
 FROM media
+"""
+    oracles["media_kind_stats"] = f"""
+WITH {CORPUS_CTE},
+media AS (
+  SELECT doc_id, kind,
+         'media://' || md5(doc_id || '-' || CAST(j AS VARCHAR)) AS media_ref
+  FROM attrs WHERE NOT is_text
+),
+d AS (
+  SELECT kind,
+         CAST(CASE WHEN kind = 'image' THEN 16 + {media_w} % 2048 ELSE 0 END
+              AS BIGINT) AS width,
+         CAST(CASE WHEN kind = 'image' THEN 16 + {media_h} % 2048 ELSE 0 END
+              AS BIGINT) AS height,
+         CAST(CASE WHEN kind = 'image' THEN 1
+              ELSE 1000 + {media_d} % 600000 END AS BIGINT) AS n_frames
+  FROM media
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(width * height) AS BIGINT) AS total_pixels,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM d GROUP BY kind ORDER BY kind
 """
     from hebrew_ner_ray.ops.multimodal import N_FRAME_SAMPLES, RESIZE_MAX
 

@@ -1013,6 +1013,18 @@ def test_rolling_window_range_frame_peers_and_expiry(ray_session, tmp_path):
     assert out["win_n"].tolist() == [1, 3, 3, 3, 1]
 
 
+def test_degree_distribution_known_graph(ray_session):
+    """Path a-b-c plus edge a-c: all three nodes have degree 2."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import degree_distribution
+
+    e = pd.DataFrame({"subj_id": [1, 2, 1], "obj_id": [2, 3, 3],
+                      "pred": ["p"] * 3, "weight": [1] * 3})
+    out = degree_distribution(ray.data.from_pandas(e)).to_pandas()
+    assert out.to_dict("records") == [{"degree": 2, "n_nodes": 3}]
+
+
 def test_entity_cooccurrence_known_docs(ray_session):
     """Hand-built mention rows: pair weights count shared docs; a doc
     with one entity contributes nothing."""
