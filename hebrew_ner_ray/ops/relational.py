@@ -2712,7 +2712,10 @@ def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
     region_nations = np.sort(
         nat.loc[nat["n_regionkey"].astype("int64").isin(rkeys),
                 "n_nationkey"].to_numpy(dtype=np.int64))
-    target_nat = int(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"].iloc[0])
+    tn = nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"]
+    # absent target nation → no supplier matches (the SQL scalar subquery
+    # goes NULL and its equality is never true); -1 mirrors that exactly
+    target_nat = int(tn.iloc[0]) if len(tn) else -1
 
     _ROW = {"orderkey": "int64", "is_target": "int64", "l_year": "int64",
             "cents": "int64", "side": "int64"}

@@ -2550,7 +2550,7 @@ def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
     pq.write_table(pa.table({
         "p_partkey": pa.array(np.arange(1, n_part + 1), type=pa.int64()),
         "p_name": pa.array([f"p{i}" for i in range(n_part)]),
-        "p_brand": pa.array(rng.choice(["B1", "B2"], n_part)),
+        "p_brand": pa.array(rng.choice(["Brand#1", "Brand#2", "B9"], n_part)),
         "p_type": pa.array(rng.choice(["PROMO", "STANDARD", "ECONOMY"],
                                       n_part)),
         "p_size": pa.array(rng.randint(1, 50, n_part).astype("int32")),
@@ -2564,9 +2564,16 @@ def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
     }), tmp_path / "supplier.parquet")
     pq.write_table(pa.table({
         "n_nationkey": pa.array(np.arange(5, dtype=np.int32)),
-        "n_name": pa.array([f"NATION{i}" for i in range(5)]),
-        "n_regionkey": pa.array(np.zeros(5, dtype=np.int32)),
+        # one nation carries the Q8 target name so market_share has a
+        # nonzero numerator; regions split 'EUROPE' / other
+        "n_name": pa.array(["NATION_0", "NATION_1", "NATION_2",
+                            "NATION_8", "NATION_4"]),
+        "n_regionkey": pa.array((np.arange(5) % 2).astype(np.int32)),
     }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(2, dtype=np.int32)),
+        "r_name": pa.array(["EUROPE", "ELSEWHERE"]),
+    }), tmp_path / "region.parquet")
     pq.write_table(pa.table({
         "doc_id": pa.array(np.arange(30), type=pa.int64()),
         "text": ["" if i % 7 == 0 else f"tok{i % 3} tok{i % 5} x"
@@ -2579,12 +2586,14 @@ def test_relational_ops_randomized_vs_duckdb(ray_session, tmp_path):
     qs, sqls = E.queries(), E.oracle_sql()
     con = duckdb.connect()
     for t in ["customer", "orders", "lineitem", "part", "supplier",
-              "nation", "documents"]:
+              "nation", "region", "documents"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{tmp_path}/{t}.parquet')")
     for name in ["order_count_distribution", "promo_revenue",
                  "idle_rich_customers", "dq_constraints", "price_quantiles",
-                 "volume_shipping", "profile_orders"]:
+                 "volume_shipping", "profile_orders", "forecast_revenue",
+                 "priority_lineitem_counts", "top_supplier_revenue",
+                 "brand_quantity_revenue", "market_share"]:
         got = qs[name](str(tmp_path))
         got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
         want = con.execute(sqls[name]).df()
