@@ -162,6 +162,14 @@ def run_benchmarks() -> dict:
     from hebrew_ner_ray.ops.similarity import kmeans_lloyd
     timed("sim_kmeans_lloyd", lambda: kmeans_lloyd(SF_DIR).count())
 
+    # round-4 family representatives
+    from hebrew_ner_ray.ops.windows import events_rolling_window
+    timed("events_rolling_window",
+          lambda: events_rolling_window(SF_DIR).count())
+
+    from hebrew_ner_ray.ops.relational import market_share
+    timed("market_share", lambda: market_share(SF_DIR).count())
+
     ray.shutdown()
 
     headline = timings["kg_build"]
