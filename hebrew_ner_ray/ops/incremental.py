@@ -46,12 +46,6 @@ def snapshot_root(sf_dir: str) -> str:
     return f"/tmp/hebrew_ner_ray_snapshots/{name}-{n}"
 
 
-def _doc_parity(doc_ids) -> np.ndarray:
-    from hebrew_ner_ray.kg.ids import stable_ids
-
-    return stable_ids([str(i) for i in doc_ids]) % 2
-
-
 def materialize_crawl(sf_dir: str, root: str) -> None:
     """Write the two-snapshot layout once: base = parity-0 documents
     hash-sharded into BASE_SHARDS parquet directories, delta = parity-1
