@@ -107,6 +107,7 @@ def ops_queries():
         "sim_kmeans_lloyd": _wrap(similarity.kmeans_lloyd),
         "sim_ann_topk_filtered": _wrap(similarity.ann_topk_filtered),
         "sim_range_search": _wrap(similarity.range_search),
+        "text_winnow_fingerprints": _wrap(textstats.winnow_fingerprints),
         "docs_jsonl_stats": _formats_jsonl,
         "events_csv_stats": _formats_csv,
         "events_daily_trend": _wrap(windows.events_daily_trend),
@@ -2139,6 +2140,33 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
          AS total_value_micro
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    # winnowing: every w-window min over k-gram hashes, distinct per doc
+    from hebrew_ner_ray.kg.ids import sql_stable_id as _ssid
+
+    _wk, _ww = textstats.WINNOW_K, textstats.WINNOW_W
+    oracles["text_winnow_fingerprints"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+  FROM documents WHERE length(text) >= {_wk}
+),
+pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {_wk} + 2)) AS p
+  FROM d
+),
+g AS (
+  SELECT doc_id, p,
+         {_ssid(f"substr(text, CAST(p AS INTEGER), {_wk})")} AS h
+  FROM pos
+),
+w AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {_ww - 1} FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM w
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim

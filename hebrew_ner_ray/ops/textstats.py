@@ -1973,3 +1973,46 @@ def corpus_card(sf_dir: str):
 
     return small_key_aggregate(
         ds.map_batches(partial, batch_format="pandas"), final)
+
+
+WINNOW_K = 8  # character k-gram width
+WINNOW_W = 4  # winnowing window (consecutive gram hashes per min)
+_WINNOW_COLS = {"doc_id": "int64", "fp": "int64"}
+
+
+def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Document fingerprinting by winnowing (the MOSS primitive): hash
+    every character k-gram, slide a w-window over the hash sequence,
+    keep each window's minimum, emit the DISTINCT minima per doc. Docs
+    shorter than k produce no fingerprints. Tail windows (fewer than w
+    grams) still contribute their min — mirrored exactly by the SQL
+    twin's ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` frame.
+
+    Pure per-doc map (a doc's text is one row, so the distinct set is
+    batch-local) — no exchange anywhere; output streams to the sink."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+
+    def fps(b: pd.DataFrame) -> pd.DataFrame:
+        from hebrew_ner_ray.ops.shuffle import typed_empty
+
+        ids_out, fp_out = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            n = len(text)
+            if n < k:
+                continue
+            h = stable_ids([text[i:i + k] for i in range(n - k + 1)])
+            pad = np.concatenate([h, np.full(w - 1, np.iinfo(np.int64).max)])
+            mins = np.lib.stride_tricks.sliding_window_view(pad, w).min(axis=1)
+            u = np.unique(mins)
+            ids_out.append(np.full(len(u), np.int64(doc_id)))
+            fp_out.append(u)
+        if not ids_out:
+            return typed_empty(_WINNOW_COLS)
+        return pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                             "fp": np.concatenate(fp_out)}).astype(_WINNOW_COLS)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fps, batch_format="pandas")
