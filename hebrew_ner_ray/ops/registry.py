@@ -125,6 +125,7 @@ def ops_queries():
         "events_window_distinct": _wrap(windows.events_window_distinct),
         "events_running_total": _wrap(windows.events_running_total),
         "events_rolling_window": _wrap(windows.events_rolling_window),
+        "events_zscore_outliers": _wrap(windows.events_zscore_outliers),
         "events_mode_type": _wrap(windows.events_mode_type),
         "events_sufficient_stats": _wrap(windows.events_sufficient_stats),
         "events_user_setops": _wrap(windows.events_user_setops),
@@ -2167,6 +2168,25 @@ w AS (
   FROM g
 )
 SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM w
+"""
+    # 3-sigma outliers via the exact integer cross-multiply — no sqrt,
+    # no division, no float anywhere on either side
+    oracles["events_zscore_outliers"] = """
+WITH v AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sv, sum(x * x) AS sv2
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.x AS value_centi,
+       CASE WHEN s.n * v.x > s.sv THEN 'high' ELSE 'low' END AS direction
+FROM v JOIN s USING (event_type)
+WHERE (s.n * v.x - s.sv) * (s.n * v.x - s.sv)
+      > 9 * (s.n * s.sv2 - s.sv * s.sv)
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim

@@ -1437,3 +1437,70 @@ def events_rolling_window(sf_dir: str):
     return bucketed_aggregate(ds.map_batches(project, batch_format="pandas"),
                               ["user_id"], per_partition,
                               coalesce=partitions_for())
+
+
+_ZSC_COLS = {"event_id": "int64", "event_type": "object",
+             "value_centi": "int64", "direction": "object"}
+
+
+def events_zscore_outliers(sf_dir: str):
+    """Per-type 3σ outlier detection with ZERO floating point: the
+    z-score test |x − μ| > 3σ is the integer cross-multiply
+    (n·x − S)² > 9·(n·S2 − S²) over exact centi-unit moment sums — no
+    sqrt, no division, no last-ulp oracle risk anywhere.
+
+    Two streaming passes: a per-type (n, Σx, Σx²) combiner reduced to a
+    model-sized stats table (read once on the driver, types are a
+    handful), then a stateless vectorized filter pass. int64 bound: at
+    this value domain (x ≤ ~5.6e4) the cross-multiply stays exact to
+    ~10⁵ rows per type; beyond that the factors promote to a (hi, lo)
+    128-bit split with the same combiner shape (the
+    events_sufficient_stats contract)."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    _S = {"event_type": "object", "n": "int64", "s": "int64", "s2": "int64"}
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(b["value"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                              "n": np.ones(len(b), dtype=np.int64),
+                              "s": x, "s2": x * x})
+                .groupby("event_type", as_index=False)[["n", "s", "s2"]]
+                .sum().astype(_S))
+
+    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_S)
+        return (g.groupby("event_type", as_index=False)[["n", "s", "s2"]]
+                .sum().astype(_S))
+
+    read = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    stats = small_key_aggregate(
+        read().map_batches(stat_partial, batch_format="pandas"),
+        stat_merge).to_pandas()
+    model = {r.event_type: (int(r.n), int(r.s), int(r.s2))
+             for r in stats.itertuples()}
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(b["value"].to_numpy() * 100).astype(np.int64)
+        et = b["event_type"].to_numpy()
+        n = np.array([model[t][0] for t in et], dtype=np.int64)
+        s = np.array([model[t][1] for t in et], dtype=np.int64)
+        s2 = np.array([model[t][2] for t in et], dtype=np.int64)
+        d = n * x - s
+        out = d * d > 9 * (n * s2 - s * s)
+        if not out.any():
+            return typed_empty(_ZSC_COLS)
+        b = b[out]
+        return pd.DataFrame(
+            {"event_id": b["event_id"].to_numpy(dtype=np.int64),
+             "event_type": et[out],
+             "value_centi": x[out],
+             "direction": np.where(d[out] > 0, "high", "low")}
+        ).astype(_ZSC_COLS)
+
+    return read().map_batches(flag, batch_format="pandas")
