@@ -984,6 +984,37 @@ def test_heavy_hitters_by_lang_stratified_topk(ray_session, tmp_path):
     assert en["rnk"].tolist() == [1, 2]
 
 
+def test_zscore_outliers_integer_boundary(ray_session, tmp_path):
+    """One spike among ten zeros: z² = (n·x−S)²/(n·S2−S²) = 10 > 9 →
+    'high'; the zeros stay inside. With only nine zeros the spike sits
+    EXACTLY on the 3σ boundary (z² = 9) and the strict > excludes it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_zscore_outliers
+
+    def write(n_zeros: int, path):
+        n = n_zeros + 1
+        t = pa.table({
+            "event_id": list(range(n)),
+            "ts": pa.array([pd.Timestamp("2025-01-01")] * n,
+                           type=pa.timestamp("us")),
+            "user_id": [1] * n,
+            "event_type": ["t"] * n,
+            "value": [0.0] * n_zeros + [100.0],
+        })
+        pq.write_table(t, f"{path}/events.parquet")
+
+    d1 = tmp_path / "a"; d1.mkdir(); write(10, d1)
+    out = events_zscore_outliers(str(d1)).to_pandas()
+    assert out.to_dict("records") == [
+        {"event_id": 10, "event_type": "t", "value_centi": 10000,
+         "direction": "high"}]
+
+    d2 = tmp_path / "b"; d2.mkdir(); write(9, d2)
+    assert events_zscore_outliers(str(d2)).to_pandas().empty
+
+
 def test_rolling_window_range_frame_peers_and_expiry(ray_session, tmp_path):
     """RANGE-frame semantics: timestamp peers share one frame; events
     older than exactly one hour fall out (boundary is inclusive)."""
