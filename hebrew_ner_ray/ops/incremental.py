@@ -246,8 +246,11 @@ def kg_nodes_incremental_snapshot(sf_dir: str):
     root = snapshot_root(sf_dir)
     materialize_crawl(sf_dir, root)
     build_base_nodes(root, sf_dir)
-    base = ray.data.read_parquet(os.path.join(root, "base_nodes"),
-                             file_extensions=["parquet"])
+    # project away the part=<k> partition column so the union with the
+    # delta build is schema-identical (no drift warning on the exchange)
+    base = ray.data.read_parquet(
+        os.path.join(root, "base_nodes"), file_extensions=["parquet"],
+        columns=["entity_id", "canonical_form", "cat", "mention_count"])
     delta = build_nodes(_annotated_subset(sf_dir, "mentions", parity=1),
                         sort=False)
     return merge_node_tables(base, delta)
