@@ -86,3 +86,21 @@ def test_kg_nodes_snapshot_matches_one_shot_build(ray_session, snap_root):
             .reset_index(drop=True))
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_format_materialization_recovers_from_interrupted_write(ray_session, tmp_path, monkeypatch):
+    """A crash mid-materialization leaves a _tmp dir and no marker; the
+    next call must rebuild cleanly (tmp swept, marker written)."""
+    from hebrew_ner_ray.ops import formats
+
+    monkeypatch.setattr(formats, "_format_root",
+                        lambda sf, kind: str(tmp_path / kind))
+    # simulate the torn state
+    torn = tmp_path / "docs_jsonl_tmp" / "data"
+    torn.mkdir(parents=True)
+    (torn / "garbage.json").write_text("{broken")
+    out = (formats.docs_jsonl_stats(SF).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    assert len(out) > 0
+    assert (tmp_path / "docs_jsonl" / "_DONE").exists()
+    assert not (tmp_path / "docs_jsonl_tmp").exists()
