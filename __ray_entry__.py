@@ -126,6 +126,13 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
                         sort=False)
         return merge_node_tables(a, b)
 
+    def kg_edges_snapshot(sf_dir: str):
+        """True base/delta layout for the edge table
+        (ops/incremental.py:kg_edges_incremental_snapshot)."""
+        from hebrew_ner_ray.ops.incremental import kg_edges_incremental_snapshot
+
+        return kg_edges_incremental_snapshot(sf_dir)
+
     def kg_nodes_snapshot(sf_dir: str):
         """True base/delta layout (ops/incremental.py): yesterday's node
         table persisted + manifest-skipped, today's delta merged in."""
@@ -254,6 +261,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_weighted_walks": kg_weighted_walks,
         "kg_nodes_incremental": kg_nodes_incremental,
         "kg_nodes_incremental_snapshot": kg_nodes_snapshot,
+        "kg_edges_incremental_snapshot": kg_edges_snapshot,
         "kg_edges_incremental": kg_edges_incremental,
         "kg_degree_distribution": kg_degree_distribution,
         "kg_media_edges": kg_media_edges,
@@ -297,6 +305,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_nodes_incremental": o.sql_nodes(),
         # true base/delta layout, same one-shot node oracle
         "kg_nodes_incremental_snapshot": o.sql_nodes(),
+        "kg_edges_incremental_snapshot": o.sql_edges(),
         "kg_edges_incremental": o.sql_edges(),
         "kg_degree_distribution": o.sql_degree_distribution(),
         "kg_media_edges": o.sql_media_edges(),

@@ -247,10 +247,54 @@ def kg_nodes_incremental_snapshot(sf_dir: str):
     materialize_crawl(sf_dir, root)
     build_base_nodes(root, sf_dir)
     # project away the part=<k> partition column so the union with the
-    # delta build is schema-identical (no drift warning on the exchange)
+    # delta build is schema-identical (no drift warning on the exchange).
+    # Block types must also match across the union — the node delta ends
+    # in an ARROW stage (add_entity_ids), and the parquet read is arrow
+    # already, so no conversion here (the EDGE path, whose delta ends in
+    # a pandas reduce, normalizes to pandas instead); a mixed union trips
+    # Ray's shuffle-reduce block-type assertion
     base = ray.data.read_parquet(
         os.path.join(root, "base_nodes"), file_extensions=["parquet"],
         columns=["entity_id", "canonical_form", "cat", "mention_count"])
     delta = build_nodes(_annotated_subset(sf_dir, "mentions", parity=1),
                         sort=False)
     return merge_node_tables(base, delta)
+
+
+def build_base_edges(root: str, sf_dir: str) -> list[int]:
+    """Edge-table twin of :func:`build_base_nodes`: persist the BASE
+    corpus's weighted edge table, one manifest partition per doc shard
+    (weight sums are associative, so cross-shard duplicates collapse in
+    the merge-time keyed aggregate)."""
+    from hebrew_ner_ray.kg.canonical import build_edges
+    from hebrew_ner_ray.state.checkpoint import run_partitioned
+
+    def build(k: int):
+        ts = _annotated_subset(sf_dir, "triples", parity=0, shard=k)
+        return build_edges(ts, sort=False)
+
+    return run_partitioned(
+        os.path.join(root, "base_edges"), range(KG_SHARDS), build,
+        version="1", lineage={"source": "interleaved", "op": "build_edges"})
+
+
+def kg_edges_incremental_snapshot(sf_dir: str):
+    """Registry query: canonical edge table via the true base/delta
+    layout — yesterday's edges read back from parquet (manifest-skipped),
+    today's delta annotated fresh, one upsert merge. Shares the one-shot
+    kg_edges oracle."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.canonical import build_edges, merge_edge_tables
+
+    root = snapshot_root(sf_dir)
+    materialize_crawl(sf_dir, root)
+    build_base_edges(root, sf_dir)
+    # pandas-normalized for the same block-type reason as the node path
+    base = ray.data.read_parquet(
+        os.path.join(root, "base_edges"), file_extensions=["parquet"],
+        columns=["subj_id", "pred", "obj_id", "weight"],
+    ).map_batches(lambda b: b, batch_format="pandas")
+    delta = build_edges(_annotated_subset(sf_dir, "triples", parity=1),
+                        sort=False)
+    return merge_edge_tables(base, delta)

@@ -65,7 +65,6 @@ def test_crawl_materialization_is_idempotent(ray_session, snap_root):
 
 
 def test_kg_nodes_snapshot_matches_one_shot_build(ray_session, snap_root):
-    from hebrew_ner_ray.kg.ids import stable_ids
     from hebrew_ner_ray.ops import incremental as inc
 
     # point the query at the isolated root (snapshot_root is /tmp-global)
@@ -74,8 +73,11 @@ def test_kg_nodes_snapshot_matches_one_shot_build(ray_session, snap_root):
     try:
         got = (inc.kg_nodes_incremental_snapshot(SF).to_pandas()
                .reset_index(drop=True))
-        # day 2: base node partitions all skipped
+        got_e = (inc.kg_edges_incremental_snapshot(SF).to_pandas()
+                 .reset_index(drop=True))
+        # day 2: base node AND edge partitions all skipped
         assert inc.build_base_nodes(snap_root, SF) == []
+        assert inc.build_base_edges(snap_root, SF) == []
     finally:
         inc.snapshot_root = orig
 
@@ -86,6 +88,13 @@ def test_kg_nodes_snapshot_matches_one_shot_build(ray_session, snap_root):
             .reset_index(drop=True))
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+    from hebrew_ner_ray.kg.canonical import build_edges
+
+    want_e = (build_edges(annotated(SF, "triples")).to_pandas()
+              .reset_index(drop=True))
+    assert len(want_e) > 0
+    pd.testing.assert_frame_equal(got_e, want_e)
 
 
 def test_format_materialization_recovers_from_interrupted_write(ray_session, tmp_path, monkeypatch):
