@@ -141,6 +141,7 @@ def ops_queries():
         "nation_coverage": _wrap(relational.nation_coverage),
         "bloom_semi_revenue": _wrap(relational.bloom_semi_revenue),
         "pricing_rollup": _wrap(relational.pricing_rollup),
+        "pricing_cube": _wrap(relational.pricing_cube),
         "large_volume_customers": _wrap(relational.large_volume_customers),
         "order_count_distribution": _wrap(relational.order_count_distribution),
         "promo_revenue": _wrap(relational.promo_revenue),
@@ -2187,6 +2188,20 @@ SELECT v.event_id, v.event_type, v.x AS value_centi,
 FROM v JOIN s USING (event_type)
 WHERE (s.n * v.x - s.sv) * (s.n * v.x - s.sv)
       > 9 * (s.n * s.sv2 - s.sv * s.sv)
+"""
+    # full CUBE lattice; GROUPING() bitmask, rolled keys render ''
+    oracles["pricing_cube"] = """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag, l_linestatus
 """
     # the snapshot layout reproduces the parity split exactly, so the
     # true base/delta query shares the parity query's oracle verbatim

@@ -1220,6 +1220,65 @@ def pricing_rollup(sf_dir: str):
                                reduce)
 
 
+def pricing_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — the full grouping-set
+    lattice: detail (lvl 0), status rolled (1), flag rolled (2), grand
+    total (3). Same discipline as pricing_rollup: every super-aggregate
+    derives from the detail partials in the one final task; the fact
+    table is scanned exactly once."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].astype(str) <= CUTOFF]
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        return (pd.DataFrame(
+            {"l_returnflag": b["l_returnflag"].to_numpy(),
+             "l_linestatus": b["l_linestatus"].to_numpy(),
+             "qty": np.floor(b["l_quantity"].to_numpy()).astype(np.int64),
+             "disc_price_cents": np.floor(ext * (1 - disc) * 100)
+             .astype(np.int64)})
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("qty", "sum"),
+                 sum_disc_price_cents=("disc_price_cents", "sum"),
+                 count_order=("qty", "size")))
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_ROLLUP_COLS)
+        sums = dict(sum_qty=("sum_qty", "sum"),
+                    sum_disc_price_cents=("sum_disc_price_cents", "sum"),
+                    count_order=("count_order", "sum"))
+        detail = g.groupby(["l_returnflag", "l_linestatus"],
+                           as_index=False).agg(**sums)
+        detail["lvl"] = 0
+        byflag = detail.groupby("l_returnflag", as_index=False).agg(**sums)
+        byflag["l_linestatus"] = ""
+        byflag["lvl"] = 1
+        bystatus = detail.groupby("l_linestatus", as_index=False).agg(**sums)
+        bystatus["l_returnflag"] = ""
+        bystatus["lvl"] = 2
+        total = detail.agg({k: "sum" for k in sums}).to_frame().T
+        total["l_returnflag"] = ""
+        total["l_linestatus"] = ""
+        total["lvl"] = 3
+        out = pd.concat([detail, byflag, bystatus, total], ignore_index=True)
+        return (out.sort_values(["lvl", "l_returnflag", "l_linestatus"])
+                .reset_index(drop=True)[list(_ROLLUP_COLS)]
+                .astype(_ROLLUP_COLS))
+
+    return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                               reduce)
+
+
 Q18_QTY = 200
 _Q18_COLS = {"c_custkey": "int64", "c_name": "object", "l_orderkey": "int64",
              "sum_qty": "int64", "total_price_cents": "int64", "rnk": "int64"}
