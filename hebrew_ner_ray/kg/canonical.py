@@ -215,9 +215,13 @@ def merge_node_tables(a, b, sort: bool = True):
     (CORRECTNESS-gated: kg_nodes_incremental shares kg_nodes' oracle)."""
     import pandas as pd
 
-    from hebrew_ner_ray.ops.shuffle import keyed_aggregate, typed_empty
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean, keyed_aggregate, typed_empty
 
-    u = a.union(b).materialize()
+    # normalize both halves to metadata-free Arrow before the union
+    # materializes: pandas-origin blocks that crossed a native Project/
+    # Sort carry b'pandas' schema metadata, which is unhashable inside
+    # downstream unify_schemas (see ops/shuffle.py._arrow_clean)
+    u = _arrow_clean(a.union(b)).materialize()
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -230,7 +234,12 @@ def merge_node_tables(a, b, sort: bool = True):
 
     merged = keyed_aggregate(u, ["entity_id"], reduce, count=u.count())
     merged = merged.select_columns(list(_NODE_COLS))
-    return merged.sort("entity_id") if sort else merged
+    # _arrow_clean: the reduce emits pandas blocks whose Arrow conversion
+    # carries b'pandas' schema metadata — unhashable inside the Sort's
+    # unify_schemas dedup (see ops/shuffle.py); columns here are plain
+    # int64/str so the zero-copy strip is tensor-safe
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean
+    return _arrow_clean(merged).sort("entity_id") if sort else merged
 
 
 def merge_edge_tables(a, b, sort: bool = True):
@@ -238,9 +247,9 @@ def merge_edge_tables(a, b, sort: bool = True):
     associative, so the upsert is one keyed aggregate on the edge key."""
     import pandas as pd
 
-    from hebrew_ner_ray.ops.shuffle import keyed_aggregate, typed_empty
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean, keyed_aggregate, typed_empty
 
-    u = a.union(b).materialize()
+    u = _arrow_clean(a.union(b)).materialize()  # see merge_node_tables
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -252,7 +261,9 @@ def merge_edge_tables(a, b, sort: bool = True):
     merged = keyed_aggregate(u, ["subj_id", "pred", "obj_id"], reduce,
                              count=u.count())
     merged = merged.select_columns(list(_EDGE_COLS))
-    return merged.sort(["subj_id", "pred", "obj_id"]) if sort else merged
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean
+    return (_arrow_clean(merged).sort(["subj_id", "pred", "obj_id"])
+            if sort else merged)
 
 
 _MEDIA_EDGE_COLS = {"entity_id": "int64", "media_ref": "object",
@@ -311,7 +322,13 @@ def build_media_edges(mentions_ds, media_ds, sort: bool = True):
     def join(p: pd.DataFrame) -> pd.DataFrame:
         if p.empty:
             return typed_empty(_MEDIA_EDGE_COLS)
-        m = p[p["side"] == 0][["doc_id", "entity_id", "n"]]
+        # mention_rows ships PER-BATCH partials: a doc whose mentions
+        # straddle a map_batches boundary yields several (doc, entity, n)
+        # rows — re-sum per (doc_id, entity_id) before the merge or each
+        # partial would pair with the media refs separately (duplicate
+        # edges with split weights).
+        m = (p[p["side"] == 0][["doc_id", "entity_id", "n"]]
+             .groupby(["doc_id", "entity_id"], as_index=False)["n"].sum())
         r = p[p["side"] == 1][["doc_id", "media_ref"]]
         out = m.merge(r, on="doc_id")
         if out.empty:

@@ -27,6 +27,8 @@ window with two vectorized ``merge_asof`` prefix-count lookups).
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -73,7 +75,7 @@ def _sides(left_type: str, right_type: str):
 def _events_both(sf_dir: str, left_type: str, right_type: str):
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )

@@ -16,6 +16,8 @@ Scale shape (the 100-TB contract):
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import pandas as pd
 
 _CURATE_COLS = {"doc_id": "int64", "n_tokens": "int64"}
@@ -64,7 +66,7 @@ def curated_docs(sf_dir: str, broadcast_loser_limit: int = BROADCAST_LOSER_LIMIT
         else None
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         """Quality fields + content hash, combined batch-locally: only the

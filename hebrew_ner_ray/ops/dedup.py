@@ -23,6 +23,8 @@ reproducible in the DuckDB oracles.
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import hashlib
 
 import numpy as np
@@ -66,7 +68,7 @@ def dedup_exact(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         h = exact_hash_batch(b)
@@ -154,7 +156,7 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     pairs summing shared-shingle counts."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = ds.map_batches(shingle_explode_batch, batch_format="pandas")
     pair_fn = _bucket_pair_fn(["sh_h"], carry_sizes=True)
 
@@ -228,7 +230,7 @@ def dedup_minhash(sf_dir: str):
     join on the (band, bucket) key, hot-bucket capped)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
     pair_fn = _bucket_pair_fn(["band", "bucket"], carry_sizes=False)
 
@@ -458,7 +460,7 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def dedup_simhash(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pandas")
 
 
@@ -481,7 +483,7 @@ def dedup_incremental(sf_dir: str):
 
     _ROW = {"doc_id": "int64", "text_hash": "object", "side": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -537,7 +539,7 @@ def split_contamination(sf_dir: str):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def sh_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -573,7 +575,7 @@ def split_contamination(sf_dir: str):
         bucket = stable_ids([f"split|{i}" for i in b["doc_id"]]) % 100
         return pd.DataFrame({"n": [np.int64((bucket >= 80).sum())]})
 
-    n_eval = int(ray.data.read_parquet(
+    n_eval = int(read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(eval_count, batch_format="pandas").sum("n") or 0)
 

@@ -14,6 +14,8 @@ timestamp encoding; integers roundtrip exactly).
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import os
 
 import numpy as np
@@ -61,7 +63,7 @@ def docs_jsonl_stats(sf_dir: str):
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
     def write(path: str) -> None:
-        (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+        (read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
          .write_json(path))
 
@@ -107,7 +109,7 @@ def events_csv_stats(sf_dir: str):
                     b["value"].to_numpy() * 1_000_000).astype(np.int64),
             })
 
-        (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        (read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type", "value"])
          .map_batches(project, batch_format="pandas")

@@ -26,6 +26,8 @@ DuckDB oracles (registry: ``dedup_incremental``'s SQL, ``kg_nodes``'s).
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import os
 
 import numpy as np
@@ -68,7 +70,7 @@ def materialize_crawl(sf_dir: str, root: str) -> None:
         b["shard"] = ((h // 2) % BASE_SHARDS).astype(np.int64)
         return b
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(split, batch_format="pandas").materialize()
 
@@ -88,6 +90,31 @@ def materialize_crawl(sf_dir: str, root: str) -> None:
                        partition_cols=["shard"])
     delta = ds.map_batches(side(1, ["par", "shard"]), batch_format="pandas")
     delta.write_parquet(os.path.join(root, "_tmp_delta_docs"))
+    # write_parquet(partition_cols=...) creates a shard=<k> directory
+    # only for shards that received rows; on a small corpus an empty
+    # shard would make the day-1 index build FileNotFoundError AFTER
+    # _CRAWL_DONE committed, wedging the snapshot root. Backfill
+    # typed-empty partitions so every shard dir exists before the
+    # marker.
+    import pyarrow as pa
+
+    tmp_base = os.path.join(root, "_tmp_base_docs")
+    existing = {d for d in os.listdir(tmp_base) if d.startswith("shard=")}
+    missing = [k for k in range(BASE_SHARDS)
+               if f"shard={k}" not in existing]
+    if missing:
+        sample = next(
+            (os.path.join(tmp_base, d, f) for d in sorted(existing)
+             for f in sorted(os.listdir(os.path.join(tmp_base, d)))
+             if f.endswith(".parquet")), None)
+        schema = (pq.read_schema(sample) if sample else
+                  pa.schema([("doc_id", pa.int64()),
+                             ("text", pa.string())]))
+        for k in missing:
+            d = os.path.join(tmp_base, f"shard={k}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(schema.empty_table(),
+                           os.path.join(d, "empty.parquet"))
     os.rename(os.path.join(root, "_tmp_base_docs"),
               os.path.join(root, "base_docs"))
     os.rename(os.path.join(root, "_tmp_delta_docs"),
@@ -111,7 +138,7 @@ def build_base_index(root: str) -> list[int]:
         return h[["text_hash"]].drop_duplicates()
 
     def build(k: int):
-        return ray.data.read_parquet(
+        return read_parquet_clean(
             os.path.join(root, "base_docs", f"shard={k}")
         ).map_batches(hash_combine, batch_format="pandas")
 
@@ -151,10 +178,10 @@ def ingest_delta(root: str):
         g["side"] = np.int64(1)
         return g[list(_ROW)].astype(_ROW)
 
-    idx = ray.data.read_parquet(os.path.join(root, "base_index"),
+    idx = read_parquet_clean(os.path.join(root, "base_index"),
                             file_extensions=["parquet"]).map_batches(
         idx_rows, batch_format="pandas")
-    delta = ray.data.read_parquet(os.path.join(root, "delta_docs")).map_batches(
+    delta = read_parquet_clean(os.path.join(root, "delta_docs")).map_batches(
         delta_rows, batch_format="pandas")
 
     def anti(p: pd.DataFrame) -> pd.DataFrame:
@@ -253,7 +280,7 @@ def kg_nodes_incremental_snapshot(sf_dir: str):
     # already, so no conversion here (the EDGE path, whose delta ends in
     # a pandas reduce, normalizes to pandas instead); a mixed union trips
     # Ray's shuffle-reduce block-type assertion
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         os.path.join(root, "base_nodes"), file_extensions=["parquet"],
         columns=["entity_id", "canonical_form", "cat", "mention_count"])
     delta = build_nodes(_annotated_subset(sf_dir, "mentions", parity=1),
@@ -291,7 +318,7 @@ def kg_edges_incremental_snapshot(sf_dir: str):
     materialize_crawl(sf_dir, root)
     build_base_edges(root, sf_dir)
     # pandas-normalized for the same block-type reason as the node path
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         os.path.join(root, "base_edges"), file_extensions=["parquet"],
         columns=["subj_id", "pred", "obj_id", "weight"],
     ).map_batches(lambda b: b, batch_format="pandas")

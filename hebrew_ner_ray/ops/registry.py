@@ -7,6 +7,8 @@ regex token contracts, and identical hot-key caps.
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 from hebrew_ner_ray.kg.ids import sql_stable_id
 from hebrew_ner_ray.ops.dedup import HOT_SHINGLE_CAP, MINHASH_BAND, MINHASH_K, SIMHASH_BITS
 from hebrew_ner_ray.ops.similarity import (
@@ -66,7 +68,7 @@ def ops_queries():
 
     def _docs_map(batch_fn):
         def run(sf_dir: str):
-            ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
             return ds.map_batches(batch_fn, batch_format="pandas")
 
         return run

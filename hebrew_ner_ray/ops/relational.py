@@ -15,6 +15,8 @@ float-sum ordering differences can flip a rounded decimal.
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
@@ -96,7 +98,7 @@ def revenue_by_nation(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMI
             g["n_name"] = g["nationkey"].map(self.names)
             return g[["n_name", "revenue_cents", "n_orders"]]
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(
         JoinAgg, batch_format="pandas", concurrency=default_concurrency()
     )
@@ -151,10 +153,10 @@ def _revenue_by_nation_exchange(sf_dir: str, names: dict):
             "side": np.zeros(len(b), dtype=np.int64),
         })
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(order_side, batch_format="pandas")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(cust_side, batch_format="pandas")
 
@@ -193,33 +195,47 @@ CUTOFF = "1998-09-02"
 def pricing_summary(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_shipdate"],
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"].astype(str) <= CUTOFF]
-        ext = b["l_extendedprice"].to_numpy()
-        disc = b["l_discount"].to_numpy()
-        g = pd.DataFrame(
-            {
-                "l_returnflag": b["l_returnflag"].to_numpy(),
-                "l_linestatus": b["l_linestatus"].to_numpy(),
-                "qty": np.floor(b["l_quantity"].to_numpy()).astype(np.int64),
-                "base_cents": np.floor(ext * 100).astype(np.int64),
-                "disc_price_cents": np.floor(ext * (1 - disc) * 100).astype(np.int64),
-                "disc_bp": np.floor(disc * 10000).astype(np.int64),
-            }
-        ).groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_base_cents=("base_cents", "sum"),
-            sum_disc_price_cents=("disc_price_cents", "sum"),
-            sum_disc_bp=("disc_bp", "sum"),
-            count_order=("qty", "size"),
-        )
-        return g
+    # Arrow-native combiner: the fact scan's hot path does filter →
+    # arithmetic → tiny groupby, all available as pyarrow.compute
+    # kernels, so the batch never pays the Arrow→pandas copy (the string
+    # flag/status columns are the expensive part of that copy). The
+    # float chain keeps numpy's exact evaluation order:
+    # (ext·(1−disc))·100, left-associated, IEEE-identical.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cutoff_ts = pa.scalar(pd.Timestamp(CUTOFF), type=pa.timestamp("us"))
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff_ts))
+        ext = t.column("l_extendedprice")
+        disc = t.column("l_discount")
+        g = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(pc.floor(t.column("l_quantity")), pa.int64()),
+            "base_cents": pc.cast(
+                pc.floor(pc.multiply(ext, pa.scalar(100.0))), pa.int64()),
+            "disc_price_cents": pc.cast(pc.floor(pc.multiply(
+                pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)),
+                pa.scalar(100.0))), pa.int64()),
+            "disc_bp": pc.cast(
+                pc.floor(pc.multiply(disc, pa.scalar(10000.0))), pa.int64()),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("qty", "sum"), ("base_cents", "sum"),
+            ("disc_price_cents", "sum"), ("disc_bp", "sum"),
+            ("qty", "count"),
+        ])
+        g = g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                              "sum_base_cents", "sum_disc_price_cents",
+                              "sum_disc_bp", "count_order"])
+        return g.to_pandas()  # ≤ #groups rows — the copy is free here
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         from hebrew_ner_ray.ops.shuffle import typed_empty
@@ -249,7 +265,9 @@ def pricing_summary(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate
 
-    return small_key_aggregate(ds.map_batches(partial, batch_format="pandas"), reduce)
+    return small_key_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), reduce)
 
 
 Q3_CUTOFF = "1998-06-15"
@@ -320,7 +338,7 @@ def shipping_priority(sf_dir: str, k: int = 10,
                     }
                 )
 
-        orders = ray.data.read_parquet(
+        orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         ).map_batches(OrderSide, batch_format="pandas",
@@ -328,25 +346,37 @@ def shipping_priority(sf_dir: str, k: int = 10,
     else:
         orders = _q3_orders_exchange(sf_dir)
 
-    def line_side(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"].astype(str) > Q3_CUTOFF]
-        rev = np.floor(
-            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()) * 100
-        ).astype(np.int64)
-        g = (
-            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                          "revenue_cents": rev})
-            .groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
-        )
-        g["o_orderdate"] = ""
-        g["o_orderpriority"] = ""
-        g["side"] = np.ones(len(g), dtype=np.int64)
-        return g
+    # Arrow-native fact-side combiner (same rationale as pricing_summary:
+    # filter → float chain → per-orderkey sum, no Arrow→pandas copy of
+    # the scan). The padding columns the union schema needs are typed
+    # NULLS (never read on this side — local_topk only consumes the
+    # order side's strings), allocated O(1).
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    lines = ray.data.read_parquet(
+    q3_cut = pa.scalar(pd.Timestamp(Q3_CUTOFF), type=pa.timestamp("us"))
+
+    def line_side(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.greater(t.column("l_shipdate"), q3_cut))
+        rev = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "revenue_cents": rev})
+             .group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+             .rename_columns(["l_orderkey", "revenue_cents"]))
+        n = g.num_rows
+        return g.append_column(
+            "o_orderdate", pa.nulls(n, pa.string())).append_column(
+            "o_orderpriority", pa.nulls(n, pa.string())).append_column(
+            "side", pa.repeat(pa.scalar(1, type=pa.int64()), n))
+
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(line_side, batch_format="pandas")
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
 
     def local_topk(part: pd.DataFrame) -> pd.DataFrame:
         if part.empty:
@@ -413,11 +443,11 @@ def _q3_orders_exchange(sf_dir: str):
              "side2": np.ones(n, dtype=np.int64)}
         ).astype(_CK)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(order_side, batch_format="pandas")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
     ).map_batches(cust_side, batch_format="pandas")
 
@@ -488,11 +518,11 @@ def order_priority_semi(sf_dir: str):
             "side": np.ones(len(keys), dtype=np.int64),
         })
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(order_side, batch_format="pandas")
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     ).map_batches(line_side, batch_format="pandas")
 
@@ -568,11 +598,11 @@ def customers_no_orders(sf_dir: str):
             "side": np.ones(len(keys), dtype=np.int64),
         })
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey", "c_acctbal"],
     ).map_batches(cust_side, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     ).map_batches(order_side, batch_format="pandas")
 
@@ -668,11 +698,11 @@ def returned_item_revenue(sf_dir: str, k: int = 20):
         g["side"] = np.int64(1)
         return g[list(_S1)].astype(_S1)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(order_side, batch_format="pandas")
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     ).map_batches(line_side, batch_format="pandas")
@@ -715,7 +745,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20):
         b["side"] = np.int64(1)
         return b[list(_S2)].astype(_S2)
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
     ).map_batches(cust_side, batch_format="pandas")
@@ -838,7 +868,7 @@ def local_supplier_revenue(sf_dir: str,
             g["side"] = np.ones(len(g), dtype=np.int64)
             return g[list(_Q5_MID)].astype(_Q5_MID)
 
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(LineSide, batch_format="pandas", concurrency=default_concurrency())
@@ -873,7 +903,7 @@ def local_supplier_revenue(sf_dir: str,
                 return _order_frame(
                     b["o_orderkey"].to_numpy(dtype=np.int64)[hit], cnat)
 
-        orders = ray.data.read_parquet(
+        orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
         ).map_batches(OrderSide, batch_format="pandas",
@@ -941,11 +971,11 @@ def _orders_with_cust_nation(sf_dir: str, region_nations: np.ndarray):
              "side2": np.ones(len(b), dtype=np.int64)}
         ).astype(_CK)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(order_side, batch_format="pandas")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
     ).map_batches(cust_side, batch_format="pandas")
 
@@ -993,10 +1023,10 @@ def nation_coverage(sf_dir: str):
 
         return run
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"]).map_batches(
         side_counts("c_nationkey", 0), batch_format="pandas")
-    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = read_parquet_clean(f"{sf_dir}/supplier.parquet",
                                 columns=["s_nationkey"]).map_batches(
         side_counts("s_nationkey", 1), batch_format="pandas")
 
@@ -1071,7 +1101,7 @@ def bloom_semi_revenue(sf_dir: str, n_bits: int = BLOOM_BITS):
         typed_empty,
     )
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
 
     def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1124,7 +1154,7 @@ def bloom_semi_revenue(sf_dir: str, n_bits: int = BLOOM_BITS):
              "n_li": np.zeros(n, dtype=np.int64),
              "side": np.zeros(n, dtype=np.int64)}).astype(_MID)
 
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(ProbeSide, batch_format="pandas",
@@ -1174,7 +1204,7 @@ def pricing_rollup(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
@@ -1230,7 +1260,7 @@ def pricing_cube(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
@@ -1329,10 +1359,10 @@ def large_volume_customers(sf_dir: str, k: int = 25,
                  b["o_totalprice"].to_numpy() * 100).astype(np.int64),
              "side": np.zeros(n, dtype=np.int64)}).astype(_MID)
 
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
     ).map_batches(line_side, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(order_side, batch_format="pandas")
@@ -1420,10 +1450,10 @@ def order_count_distribution(sf_dir: str):
             "side": np.zeros(len(b), dtype=np.int64),
         })
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
     ).map_batches(order_side, batch_format="pandas")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).map_batches(cust_side, batch_format="pandas")
 
@@ -1507,7 +1537,7 @@ def promo_revenue(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
                 "total_cents": [np.int64(cents.sum())],
             })
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
     partials = ds.map_batches(Fold, batch_format="pandas",
@@ -1562,11 +1592,11 @@ def _promo_revenue_exchange(sf_dir: str):
             "side": np.zeros(len(b), dtype=np.int64),
         })
 
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(line_side, batch_format="pandas")
-    parts = ray.data.read_parquet(
+    parts = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     ).map_batches(part_side, batch_format="pandas")
 
@@ -1617,7 +1647,7 @@ def price_quantiles_twopass(sf_dir: str, pcts=QUANT_PCTS):
     _H = {"bucket": "int64", "cnt": "int64"}
 
     def read():
-        return ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+        return read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                      columns=["l_extendedprice"])
 
     def cents_of(b: pd.DataFrame) -> np.ndarray:
@@ -1754,7 +1784,7 @@ def volume_shipping(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT)
                 g["side"] = np.int64(1)
                 return g[list(_ROW)].astype(_ROW)
 
-        lines = ray.data.read_parquet(
+        lines = read_parquet_clean(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
                      "l_shipdate"]
@@ -1788,7 +1818,7 @@ def volume_shipping(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT)
                     "n": np.zeros(n, dtype=np.int64),
                     "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
 
-        orders = ray.data.read_parquet(
+        orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
         ).map_batches(OrderSide, batch_format="pandas",
                       concurrency=default_concurrency())
@@ -1869,12 +1899,12 @@ def _q7_lines_exchange(sf_dir: str):
              "nat": b["s_nationkey"].to_numpy(dtype=np.int64),
              "side2": np.ones(n, dtype=np.int64)}).astype(_SK)
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
                  "l_shipdate"]
     ).map_batches(line_side, batch_format="pandas")
-    su = ray.data.read_parquet(
+    su = read_parquet_clean(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
     ).map_batches(supp_side, batch_format="pandas")
 
@@ -1927,10 +1957,10 @@ def _q7_orders_exchange(sf_dir: str):
              "nat": b["c_nationkey"].to_numpy(dtype=np.int64),
              "side2": np.ones(n, dtype=np.int64)}).astype(_CK)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
     ).map_batches(order_side, batch_format="pandas")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
     ).map_batches(cust_side, batch_format="pandas")
 
@@ -1999,10 +2029,10 @@ def dq_constraints(sf_dir: str):
         return run
 
     def _orphan_count(fact_path, fact_col, dim_path, dim_col) -> int:
-        fact = ray.data.read_parquet(fact_path, columns=[fact_col]
+        fact = read_parquet_clean(fact_path, columns=[fact_col]
                                      ).map_batches(_fact_side(fact_col),
                                                    batch_format="pandas")
-        dim = ray.data.read_parquet(dim_path, columns=[dim_col]
+        dim = read_parquet_clean(dim_path, columns=[dim_col]
                                     ).map_batches(_dim_side(dim_col),
                                                   batch_format="pandas")
 
@@ -2035,7 +2065,7 @@ def dq_constraints(sf_dir: str):
         return pd.DataFrame({"n": [np.int64(s[s > 1].sum())]})
 
     dups = bucketed_aggregate(
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
                               columns=["o_orderkey"]
                               ).map_batches(dup_partial, batch_format="pandas"),
         ["key"], dup_count, coalesce=partitions_for())
@@ -2045,7 +2075,7 @@ def dq_constraints(sf_dir: str):
         return pd.DataFrame({"n": [np.int64(
             (b["text"].str.strip() == "").sum())]})
 
-    empties = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    empties = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                     columns=["text"]
                                     ).map_batches(empty_partial,
                                                   batch_format="pandas")
@@ -2098,7 +2128,7 @@ def idle_rich_customers(sf_dir: str):
 
     cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
     bal = small_key_aggregate(
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
                               columns=["c_acctbal"]
                               ).map_batches(bal_partial, batch_format="pandas"),
         lambda g: pd.DataFrame({"s": [np.int64(g["s"].sum())],
@@ -2130,10 +2160,10 @@ def idle_rich_customers(sf_dir: str):
                              "cents": np.zeros(n, dtype=np.int64),
                              "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=cust_cols
                                  ).map_batches(cust_side, batch_format="pandas")
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_orderdate"]
                                    ).map_batches(order_side,
                                                  batch_format="pandas")
@@ -2241,7 +2271,7 @@ def profile_table(sf_dir: str, table: str = "orders"):
                                           "max_v"].max()) if nn else np.int64(0)))
         return pd.DataFrame(rows, columns=list(_PROFILE_COLS)).astype(_PROFILE_COLS)
 
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet_clean(path)
     return small_key_aggregate(
         ds.map_batches(partial, batch_format="pandas"), final)
 
@@ -2293,7 +2323,7 @@ def parts_supplier_counts(sf_dir: str):
                 "suppkey": b["l_suppkey"].to_numpy(dtype=np.int64),
             }).drop_duplicates().astype(_T))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_partkey", "l_suppkey"])
     tri = ds.map_batches(Triples, batch_format="pandas",
                          concurrency=default_concurrency())
@@ -2355,7 +2385,7 @@ def small_quantity_revenue(sf_dir: str):
         agg["side"] = np.int64(1)
         return pd.concat([raw, agg[list(_ROW)]], ignore_index=True).astype(_ROW)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -2398,14 +2428,17 @@ def forecast_revenue(sf_dir: str):
     Σ floor(extendedprice · discount · 100). One column-pruned pass,
     per-batch scalar partials, one tiny reduce — the cheapest possible
     100-TB plan. Discounts compare as integer basis points
-    (round(d·100)) on both sides so no float boundary can flip a row."""
+    (round(d·100)) on both sides so no float boundary can flip a row —
+    rounded HALF-AWAY-FROM-ZERO (floor(x+0.5), discounts are
+    non-negative) to match DuckDB round(); np.round is half-to-even and
+    would classify an exact .5-bp discount differently."""
     import ray.data
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
     def fold(b: pd.DataFrame) -> pd.DataFrame:
         d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
-        bp = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        bp = np.floor(b["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
         m = ((d >= Q6_LO) & (d < Q6_HI)
              & (bp >= 5) & (bp <= 7)
              & (b["l_quantity"].to_numpy() < 24))
@@ -2417,7 +2450,7 @@ def forecast_revenue(sf_dir: str):
         return pd.DataFrame({"revenue_cents": [np.int64(cents.sum())],
                              "n_lineitems": [np.int64(len(b))]})
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -2485,11 +2518,11 @@ def priority_lineitem_counts(sf_dir: str):
              "is_high": hi.astype(np.int64),
              "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
 
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_shipdate"],
     ).map_batches(line_side, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"],
     ).map_batches(order_side, batch_format="pandas")
 
@@ -2564,7 +2597,7 @@ def top_supplier_revenue(sf_dir: str):
         t = p.groupby("s_suppkey", as_index=False)["cents"].sum()
         return t[t["cents"] == t["cents"].max()].astype(_TOT)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
     cand = bucketed_aggregate(ds.map_batches(fold, batch_format="pandas"),
@@ -2639,7 +2672,7 @@ def brand_quantity_revenue(sf_dir: str,
             return pd.DataFrame({"revenue_cents": [np.int64(cents.sum())],
                                  "n_lineitems": [np.int64(len(b))]})
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
     partials = ds.map_batches(Fold, batch_format="pandas",
@@ -2711,11 +2744,11 @@ def _brand_quantity_exchange(sf_dir: str):
              "grp": g[keep],
              "side": np.ones(n, dtype=np.int64)}).astype(_ROW)
 
-    lines = ray.data.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(line_side, batch_format="pandas")
-    parts = ray.data.read_parquet(
+    parts = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
     ).map_batches(part_side, batch_format="pandas")
 
@@ -2788,38 +2821,55 @@ def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
         si = np.argsort(sk)
         supp_ref = ray.put((sk[si], supp.column("s_nationkey").to_numpy()[si]))
 
-        class LineSide:
-            def __init__(self):
-                self.sk, self.snat = ray.get(supp_ref)
+        # plain TASK closure, not an actor pool: the per-task "setup" is
+        # one zero-copy ray.get of the broadcast array (µs from plasma),
+        # so an actor pool buys nothing and costs a pool spin-up + ramp
+        # lottery — measured: the whole query is fixed-overhead-bound at
+        # bench scale (total remote compute ~0.5 s vs 6-7 s wall).
+        # Arrow-native: the scan's filter/arithmetic/groupby never pays
+        # the Arrow→pandas copy; the supplier membership probe drops to
+        # numpy searchsorted on the zero-copy key column.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
-                b = b[(d >= Q8_LO) & (d < Q8_HI)]
-                if b.empty:
-                    return typed_empty(_ROW)
-                pos, ok = dim_lookup(self.sk, b["l_suppkey"].to_numpy())
-                b, pos = b[ok], pos[ok]
-                if b.empty:
-                    return typed_empty(_ROW)
-                cents = np.floor(
-                    b["l_extendedprice"].to_numpy()
-                    * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
-                g = (pd.DataFrame({
-                    "orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                    "is_target": (self.snat[pos] == target_nat).astype(np.int64),
-                    "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
-                    "cents": cents})
-                    .groupby(["orderkey", "is_target", "l_year"], as_index=False)
-                    ["cents"].sum())
-                g["side"] = np.int64(1)
-                return g[list(_ROW)].astype(_ROW)
+        q8_lo = pa.scalar(pd.Timestamp(Q8_LO), type=pa.timestamp("us"))
+        q8_hi = pa.scalar(pd.Timestamp(Q8_HI), type=pa.timestamp("us"))
 
-        lines = ray.data.read_parquet(
+        def line_side(t: "pa.Table") -> "pa.Table":
+            sk_s, snat_s = ray.get(supp_ref)
+            ship = t.column("l_shipdate")
+            t = t.filter(pc.and_(pc.greater_equal(ship, q8_lo),
+                                 pc.less(ship, q8_hi)))
+            suppkey = (t.column("l_suppkey").combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+            pos, ok = dim_lookup(sk_s, suppkey)
+            t, pos = t.filter(pa.array(ok)), pos[ok]
+            cents = pc.cast(pc.floor(pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0),
+                                        t.column("l_discount"))),
+                pa.scalar(100.0))), pa.int64())
+            g = (pa.table({
+                "orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "is_target": pa.array(
+                    (snat_s[pos] == target_nat).astype(np.int64)),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                                  pa.int64()),
+                "cents": cents})
+                .group_by(["orderkey", "is_target", "l_year"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["orderkey", "is_target", "l_year",
+                                 "cents"]))
+            return g.append_column(
+                "side", pa.repeat(pa.scalar(1, type=pa.int64()),
+                                  g.num_rows))
+
+        lines = read_parquet_clean(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                      "l_discount", "l_shipdate"],
-        ).map_batches(LineSide, batch_format="pandas",
-                      concurrency=default_concurrency())
+        ).map_batches(line_side, batch_format="pyarrow",
+                      zero_copy_batch=True)
     else:
         lines = _q8_lines_exchange(sf_dir, target_nat)
 
@@ -2831,26 +2881,22 @@ def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
             set(region_nations.tolist()))]
         ckeys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
 
-        class OrderSide:
-            def __init__(self):
-                self.keys = ray.get(ckeys_ref)
+        def order_side(b: pd.DataFrame) -> pd.DataFrame:
+            # task closure; see line_side for why no actor pool
+            _, ok = dim_lookup(ray.get(ckeys_ref),
+                               b["o_custkey"].to_numpy(dtype=np.int64))
+            b = b[ok]
+            n = len(b)
+            return pd.DataFrame(
+                {"orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                 "is_target": np.zeros(n, dtype=np.int64),
+                 "l_year": np.zeros(n, dtype=np.int64),
+                 "cents": np.zeros(n, dtype=np.int64),
+                 "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                _, ok = dim_lookup(self.keys,
-                                   b["o_custkey"].to_numpy(dtype=np.int64))
-                b = b[ok]
-                n = len(b)
-                return pd.DataFrame(
-                    {"orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
-                     "is_target": np.zeros(n, dtype=np.int64),
-                     "l_year": np.zeros(n, dtype=np.int64),
-                     "cents": np.zeros(n, dtype=np.int64),
-                     "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
-
-        orders = ray.data.read_parquet(
+        orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-        ).map_batches(OrderSide, batch_format="pandas",
-                      concurrency=default_concurrency())
+        ).map_batches(order_side, batch_format="pandas")
     else:
         orders = _q8_orders_exchange(sf_dir, region_nations)
 

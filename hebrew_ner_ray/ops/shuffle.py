@@ -106,6 +106,28 @@ def typed_empty(cols: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
 
 
+def _strip_schema_metadata(t):
+    """Drop schema-level metadata from an Arrow batch (pa.Table)."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def _arrow_clean(ds):
+    """Normalize blocks to Arrow with NO schema metadata before a hash
+    exchange. Pandas-origin blocks convert to Arrow with a b'pandas'
+    schema-metadata entry whose hash raises ``unhashable type: 'dict'``
+    inside Ray 2.49's aggregator schema-dedup (`unify_schemas` early
+    exit), so every HashShuffleAggregator logs 'Failed to hash the
+    schemas (for deduplication)' — harmless but floods stderr and
+    defeats the dedup fast path. The pandas→arrow conversion happens on
+    the shuffle map side regardless (`try_convert_block_type` to ARROW),
+    so doing it here in a fused zero-copy stage costs nothing, makes the
+    schemas hashable, and normalizes mixed pandas/Arrow unions to one
+    block type (Ray 2.49's shuffle-reduce asserts a single inferred
+    block type)."""
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _hash_strategy_active() -> bool:
     try:
         from ray.data.context import DataContext, ShuffleStrategy
@@ -138,7 +160,7 @@ def bucketed_aggregate(
     Per-partition work is one pandas groupby over ~keys/n of the data."""
     if _hash_strategy_active():
         n = coalesce or partitions_for()
-        parts = ds.repartition(n, keys=list(key_cols))
+        parts = _arrow_clean(ds).repartition(n, keys=list(key_cols))
         # PINNED ASSUMPTION (Ray 2.49): hash-shuffle finalize emits exactly
         # ONE block per partition (the Ray source carries a 'TODO break
         # down blocks to target size'), so batch_size=None hands ``agg``
@@ -178,7 +200,8 @@ def grouped_exchange(
     keys = list(key_cols)
     if not _hash_strategy_active():
         return ds.groupby(keys).map_groups(group_fn, batch_format="pandas")
-    parts = ds.repartition(n_partitions or partitions_for(), keys=keys)
+    parts = _arrow_clean(ds).repartition(n_partitions or partitions_for(),
+                                         keys=keys)
     return parts.map_batches(_group_loop(keys, group_fn),
                              batch_format="pandas", batch_size=None)
 
@@ -228,6 +251,12 @@ def small_key_aggregate(partials, agg: Callable[[pd.DataFrame], pd.DataFrame]):
     nations): partial aggregation has already shrunk the data to
     (#blocks × #keys) rows, so the exact final reduce is one task over one
     coalesced block. ``agg`` sees every partial row in a single call."""
+    # NOTE: no _arrow_clean here — keyless repartition(1) is an
+    # AllToAll (not a hash shuffle) that moves pandas blocks verbatim,
+    # and forcing an Arrow conversion breaks partials whose object
+    # columns hold numpy arrays (tensor-extension chunk mixing); the
+    # unhashable-schema warning's actual source was the parquet read
+    # (fixed in ops/io.py).
     return partials.repartition(1).map_batches(
         agg, batch_format="pandas", batch_size=None
     )

@@ -23,6 +23,8 @@
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
@@ -109,7 +111,7 @@ def ann_topk(sf_dir: str):
     import ray.data
 
     query_ref = ray.put(_load_queries(sf_dir))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     local = ds.map_batches(
         TopKScorer,
         fn_constructor_kwargs={"query_ref": query_ref},
@@ -201,7 +203,7 @@ def embedding_pairs(sf_dir: str, tau: float = PAIR_TAU, n_blocks: int = PAIR_BLO
     via the triangle block join (no broadcast of the corpus matrix)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     exploded = ds.map_batches(
         lambda b: _pair_block_explode(b, n_blocks), batch_format="pyarrow"
     )
@@ -253,7 +255,7 @@ def embedding_pairs_lsh(sf_dir: str, tau: float = PAIR_TAU,
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def explode(b: "pa.Table") -> "pa.Table":
         # arrow-native for the same list<float32> exchange reason as
@@ -398,7 +400,7 @@ def ivf_topk(sf_dir: str):
                 {"query_id": "int64", "vec_id": "int64"}
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     local = ds.map_batches(
         BucketScorer, batch_format="pandas", batch_size=1024,
         concurrency=default_concurrency(),
@@ -480,7 +482,7 @@ def embedding_centroids(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding", "label"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -563,7 +565,7 @@ def kmeans_assign(sf_dir: str):
                 "dist2": d2[np.arange(len(best)), best],
             }).astype(_ASSIGN_COLS)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
     return ds.map_batches(Assign, batch_format="pandas",
                           concurrency=default_concurrency())
@@ -588,7 +590,7 @@ def embedding_gram(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -657,10 +659,10 @@ def doc_embedding_features(sf_dir: str):
             "sq_norm_milli2": (xm * xm).sum(axis=1),
             "side": np.ones(n, dtype=np.int64)}).astype(_ROW)
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang", "n_chars"]
                                  ).map_batches(doc_rows, batch_format="pandas")
-    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    embs = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "label", "embedding"]
                                  ).map_batches(emb_rows, batch_format="pandas")
 
@@ -729,7 +731,7 @@ def _bottom_k_vec_ids(path: str, k: int) -> np.ndarray:
         v = np.sort(g["vec_id"].to_numpy(dtype=np.int64))[:k]
         return pd.DataFrame({"vec_id": v}).astype({"vec_id": "int64"})
 
-    parts = ray.data.read_parquet(path, columns=["vec_id"]).map_batches(
+    parts = read_parquet_clean(path, columns=["vec_id"]).map_batches(
         partial, batch_format="pandas")
     return np.sort(small_key_aggregate(parts, merge)
                    .to_pandas()["vec_id"].to_numpy(dtype=np.int64))
@@ -802,7 +804,7 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K,
     C = np.floor(np.stack(seed_tbl["embedding"].to_list()).astype(np.float64)
                  * 1_000_000).astype(np.int64)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]).materialize()
 
     _S = {"cid": "int64", "dim": "int64", "s": "int64", "n": "int64"}
@@ -909,7 +911,7 @@ def ann_topk_filtered(sf_dir: str):
     from hebrew_ner_ray.ops.shuffle import grouped_exchange
 
     query_ref = ray.put(_load_queries_with_labels(sf_dir))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
     local = ds.map_batches(
         FilteredTopKScorer,
@@ -957,7 +959,7 @@ def range_search(sf_dir: str, tau: float = RANGE_TAU):
     import ray.data
 
     query_ref = ray.put(_load_queries(sf_dir))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ds.map_batches(
         RangeScorer,

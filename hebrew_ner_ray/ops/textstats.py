@@ -11,6 +11,8 @@ Tokenization contract shared with the SQL oracles: whitespace split of
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import hashlib
 import re
 
@@ -127,7 +129,7 @@ def distinct_tokens_kmv(sf_dir: str, k: int = KMV_K):
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     partials = ds.map_batches(kmv_partial_batch, batch_format="pandas")
 
@@ -160,7 +162,7 @@ def corpus_sample_k(sf_dir: str, k: int = 100):
 
     from hebrew_ner_ray.kg.ids import stable_ids
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(dtype=np.int64)
@@ -189,7 +191,7 @@ def corpus_sample_stratified(sf_dir: str, k: int = 20):
     from hebrew_ner_ray.kg.ids import stable_ids
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
 
     def topk(b: pd.DataFrame) -> pd.DataFrame:
@@ -242,7 +244,7 @@ def token_quantiles(sf_dir: str):
 
     _HIST = {"lang": "object", "n": "int64", "cnt": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text", "lang"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -350,7 +352,7 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K, broadcast_vocab_limit: int = 2_000
 
     _DF = {"token": "object", "df": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     n_docs = ds.count()
 
@@ -470,7 +472,7 @@ def heavy_hitters(sf_dir: str, k: int = HEAVY_K):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].str.lower().str.findall(r"\S+").explode().dropna()
@@ -535,7 +537,7 @@ def doc_global_rank(sf_dir: str):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -633,7 +635,7 @@ def fuzzy_token_pairs(sf_dir: str, max_dist: int = FUZZ_MAX_DIST):
     from hebrew_ner_ray.kg.ids import stable_ids
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     _V = {"token": "object"}
 
@@ -732,7 +734,7 @@ def doc_pack_offsets(sf_dir: str, window: int = PACK_WINDOW):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -918,7 +920,7 @@ def lm_doc_logprob(sf_dir: str, broadcast_limit: int = LM_BROADCAST_LIMIT):
     )
     from hebrew_ner_ray.runtime import default_concurrency
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     _C12 = {"key": "object", "w1": "object", "c12": "int64"}
@@ -1094,7 +1096,7 @@ def collocations_pmi(sf_dir: str, k: int = PMI_K,
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     _B = {"w1": "object", "w2": "object", "c12": "int64"}
@@ -1257,7 +1259,7 @@ def heavy_hitters_by_lang(sf_dir: str, k: int = GROUP_HH_K):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["lang", "text"])
 
     _P = {"lang": "object", "token": "object", "tf": "int64"}
@@ -1334,7 +1336,7 @@ def cms_heavy_estimate(sf_dir: str, k: int = HEAVY_K):
 
     _CELL = {"r": "int64", "cell": "int64", "cnt": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].str.lower().str.findall(r"\S+").explode().dropna()
@@ -1440,7 +1442,7 @@ def doc_pareto_frontier(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "n_chars"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1498,7 +1500,7 @@ def text_kcore(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
     _E = {"a": "object", "b": "object"}
     _D = {"node": "object", "d": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.lower().str.findall(r"\S+")
@@ -1609,7 +1611,7 @@ def corpus_split_assign(sf_dir: str):
 
     from hebrew_ner_ray.kg.ids import stable_ids
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
@@ -1646,7 +1648,7 @@ def doc_len_mad_by_lang(sf_dir: str):
 
     _HIST = {"lang": "object", "v": "int64", "cnt": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["lang", "n_chars"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1731,7 +1733,7 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK, n_query: int = BM25_NQ):
     _PROJ = {"doc_id": "int64", "dl": "int64",
              **{c: "int64" for c in tf_cols}}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -1827,7 +1829,7 @@ def text_entropy(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def run(b: pd.DataFrame) -> pd.DataFrame:
@@ -1873,7 +1875,7 @@ def text_repetition(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def run(b: pd.DataFrame) -> pd.DataFrame:
@@ -1935,7 +1937,7 @@ def corpus_card(sf_dir: str):
     _P = {"n_docs": "int64", "n_empty": "int64", "n_tokens": "int64",
           "hashes": "object", "langs": "object"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text", "lang"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2013,6 +2015,6 @@ def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
         return pd.DataFrame({"doc_id": np.concatenate(ids_out),
                              "fp": np.concatenate(fp_out)}).astype(_WINNOW_COLS)
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fps, batch_format="pandas")

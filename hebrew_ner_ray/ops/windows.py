@@ -13,6 +13,8 @@ shapes the way the engine would at scale (ray_guide.md §streaming):
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 
@@ -57,7 +59,7 @@ def events_tumbling(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     partials = ds.map_batches(tumbling_partials, batch_format="pandas")
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
@@ -139,7 +141,7 @@ def events_sessions(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     partials = ds.map_batches(_session_partials, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -181,7 +183,7 @@ def events_hopping(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import partitions_for, sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     partials = ds.map_batches(hopping_partials, batch_format="pandas")
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
@@ -200,7 +202,7 @@ def events_top_users(sf_dir: str, k: int = 20):
     """Top-k users by total event value (partial agg → groupby → sort/limit)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -241,7 +243,7 @@ def events_top_per_user(sf_dir: str, k: int = 3):
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "value"])
 
     def topk(b: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
@@ -315,7 +317,7 @@ def events_funnel(sf_dir: str):
         pop = pop.assign(code=np.int64(0), us=np.int64(-1))
         return pd.concat([stage[stage["code"] > 0], pop], ignore_index=True)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type", "ts"])
     rows = ds.map_batches(project, batch_format="pandas")
 
@@ -359,7 +361,7 @@ def events_props_stats(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["props", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -414,7 +416,7 @@ def events_window_distinct(sf_dir: str, k: int = WINDOW_KMV_K):
 
     HASH_SPACE = 1 << 60
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "user_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -468,7 +470,7 @@ def events_running_total(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -505,7 +507,7 @@ def events_mode_type(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -550,7 +552,7 @@ def events_sufficient_stats(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "props", "value"])
 
     sum_cols = ["n", "sum_x", "sum_x2", "sum_k", "sum_k2", "sum_xk"]
@@ -606,7 +608,7 @@ def events_user_setops(sf_dir: str):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type"])
 
     _F = {"user_id": "int64", "v": "int64", "p": "int64"}
@@ -663,7 +665,7 @@ def events_pivot_daily(sf_dir: str):
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -705,7 +707,7 @@ def events_top_sequences(sf_dir: str, k: int = SEQ_K):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_id",
                                         "event_type"])
 
@@ -766,7 +768,7 @@ def events_cohort_retention(sf_dir: str):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def per_partition(p: pd.DataFrame) -> pd.DataFrame:
@@ -799,8 +801,27 @@ def events_cohort_retention(sf_dir: str):
 
 _CONC_COLS = {"user_id": "int64", "max_concurrency": "int64"}
 
+# Skew contract for the per-key window family (rolling_window,
+# concurrency, sessions, top_per_user): the plain arm co-locates each
+# key's COMPLETE history on one worker, so a pathological hot key (one
+# user holding the whole corpus) must fit that worker's heap. Below
+# SKEW_SAFE_ROWS total table rows this holds for ANY key distribution
+# (the sweep kernels are a few numpy arrays per row), so the plain arm
+# is provably safe and free; above it, the time-bucketed arm splits
+# every key by fixed time buckets — each (key, bucket) cell is bounded
+# by the bucket's row count — and carries boundary partials, at the
+# cost of one extra (tiny, combiner-shrunk) exchange.
+SKEW_SAFE_ROWS = 20_000_000
+SKEW_BUCKET_US = 3_600_000_000  # 1 h time buckets in the bucketed arms
 
-def events_concurrency(sf_dir: str):
+
+def _events_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as _pq
+
+    return _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+
+def events_concurrency(sf_dir: str, skew_safe_rows: int = SKEW_SAFE_ROWS):
     """Per-user MAX CONCURRENT intervals — the interval-overlap sweep.
 
     Each event is the half-open interval [ts, ts + value seconds); the
@@ -812,16 +833,20 @@ def events_concurrency(sf_dir: str):
     O(k²) per user and exists only as the semantics statement. Zero-length
     intervals (non-positive durations) are dropped on BOTH sides, so
     every kept event covers its own start and max ≥ 1 for emitted users.
-    Skew note: one user's events must fit a worker's heap (same contract
-    as sessions/top_per_user); a pathological single-user corpus would
-    need start-bucketed pre-sweeps carrying (opens, closes) boundary
-    partials.
+    Skew dispatch (SKEW_SAFE_ROWS): tables small enough that even a
+    single-user corpus fits one worker take this plain one-exchange arm;
+    larger tables take the time-bucketed arm (each user's sweep split by
+    SKEW_BUCKET_US buckets, per-bucket (net-delta, local-max) partials
+    merged in a per-user carry scan over bucket-count-sized rows).
     """
     import ray.data
 
     from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    if _events_rows(sf_dir) > skew_safe_rows:
+        return _events_concurrency_bucketed(sf_dir)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "value"])
 
     def iv(b: pd.DataFrame) -> pd.DataFrame:
@@ -849,6 +874,110 @@ def events_concurrency(sf_dir: str):
                             ["user_id"], sweep)
 
 
+def _events_concurrency_bucketed(sf_dir: str):
+    """Skew arm for events_concurrency: the interval sweep split by time
+    bucket so no single worker ever holds a whole hot user.
+
+    Each kept interval [s, e) becomes two delta rows: (+1 at s) in
+    bucket(s) and (−1 at e) in bucket(e). Exchange 1 is keyed on
+    (user_id, bucket): the per-cell kernel sorts its deltas by (time,
+    delta) — a −1 at time t sorts BEFORE a +1 at t because an interval
+    ending at t does not cover t while one starting at t covers itself —
+    and reduces the cell to net = Σdelta plus local_max = max running
+    sum AT +1 positions (−2⁶² when the cell has no starts: closes-only
+    cells contribute to later baselines but never attain the max).
+    Exchange 2 is keyed on user_id over these bucket partials — rows per
+    user = #active buckets, bounded by time span / SKEW_BUCKET_US no
+    matter how many events the user has — and the carry scan computes
+    max over buckets of (prefix of previous nets + local_max). Exact:
+    the running count at any start equals its bucket's baseline (prefix
+    of earlier buckets' nets) plus the within-bucket running sum. Both
+    kernels are whole-partition vectorized (one mergesort + cumsum with
+    segment-boundary baselines), never a Python loop per cell."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    _D = {"user_id": "int64", "bucket": "int64", "t": "int64",
+          "delta": "int64"}
+    _P = {"user_id": "int64", "bucket": "int64", "net": "int64",
+          "local_max": "int64"}
+    _NO_START = -(2 ** 62)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        s = _epoch_us(b["ts"]).to_numpy()
+        dur = _micro(b["value"])
+        u = b["user_id"].to_numpy(dtype=np.int64)
+        keep = (s + dur) > s
+        s, e, u = s[keep], (s + dur)[keep], u[keep]
+        return pd.DataFrame({
+            "user_id": np.concatenate([u, u]),
+            "bucket": np.concatenate([s, e]) // SKEW_BUCKET_US,
+            "t": np.concatenate([s, e]),
+            "delta": np.concatenate([np.ones(len(s), dtype=np.int64),
+                                     -np.ones(len(e), dtype=np.int64)]),
+        }).astype(_D)
+
+    def cell_reduce(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_P)
+        # delta −1 < +1, so the mergesort puts closes before opens at
+        # equal t — exactly the [s, e) evaluation order
+        p = p.sort_values(["user_id", "bucket", "t", "delta"],
+                          kind="mergesort")
+        u = p["user_id"].to_numpy()
+        bk = p["bucket"].to_numpy()
+        d = p["delta"].to_numpy()
+        new_cell = np.r_[True, (u[1:] != u[:-1]) | (bk[1:] != bk[:-1])]
+        cid = np.cumsum(new_cell) - 1
+        run = np.cumsum(d)
+        cs = np.flatnonzero(new_cell)
+        base = np.r_[0, run[cs[1:] - 1]]  # global cumsum before each cell
+        rel = run - base[cid]
+        ce = np.r_[cs[1:], len(d)] - 1
+        lm = (pd.Series(np.where(d > 0, rel, _NO_START))
+              .groupby(cid).max().to_numpy())
+        return pd.DataFrame({
+            "user_id": u[cs], "bucket": bk[cs],
+            "net": rel[ce], "local_max": lm,
+        }).astype(_P)
+
+    parts = bucketed_aggregate(
+        ds.map_batches(deltas, batch_format="pandas"),
+        ["user_id", "bucket"], cell_reduce, coalesce=partitions_for())
+
+    def carry_scan(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CONC_COLS)
+        p = p.sort_values(["user_id", "bucket"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        net = p["net"].to_numpy()
+        lm = p["local_max"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        uid = np.cumsum(new_user) - 1
+        run = np.cumsum(net)
+        us = np.flatnonzero(new_user)
+        ubase = np.r_[0, run[us[1:] - 1]]
+        baseline = (run - net) - ubase[uid]  # Σ earlier buckets' nets
+        cand = np.where(lm != _NO_START, baseline + lm, _NO_START)
+        best = pd.Series(cand).groupby(uid).max()
+        keep = best.to_numpy() != _NO_START
+        return pd.DataFrame({
+            "user_id": u[us][keep],
+            "max_concurrency": best.to_numpy()[keep],
+        }).astype(_CONC_COLS)
+
+    return bucketed_aggregate(parts, ["user_id"], carry_scan,
+                              coalesce=partitions_for())
+
+
 _DUNIQ_COLS = {"event_type": "object", "day_us": "int64", "n_users": "int64"}
 
 
@@ -871,7 +1000,7 @@ def events_daily_unique(sf_dir: str):
 
     _T = {"event_type": "object", "day_us": "int64", "user_id": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "user_id"])
 
     def triples(b: pd.DataFrame) -> pd.DataFrame:
@@ -921,7 +1050,7 @@ def events_share_of_user(sf_dir: str):
 
     _P = {"user_id": "int64", "event_type": "object", "value_micro": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -964,7 +1093,7 @@ def events_value_histogram(sf_dir: str, bins: int = HIST_BINS):
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
     def read():
-        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        return read_parquet_clean(f"{sf_dir}/events.parquet",
                                      columns=["value"])
 
     _MM = {"lo": "int64", "hi": "int64"}
@@ -1047,7 +1176,7 @@ def events_global_concurrency(sf_dir: str):
 
     _PT = {"t": "int64", "delta": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "value"])
 
     def points(b: pd.DataFrame) -> pd.DataFrame:
@@ -1162,7 +1291,7 @@ def events_daily_trend(sf_dir: str):
 
     _D = {"event_type": "object", "day_us": "int64", "y": "int64"}
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1223,7 +1352,7 @@ def events_throttled(sf_dir: str, gap_us: int = THROTTLE_US):
 
     from hebrew_ner_ray.ops.shuffle import grouped_exchange, typed_empty
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "ts"])
 
@@ -1271,7 +1400,7 @@ def events_late_arrivals(sf_dir: str, lateness_us: int = LATENESS_US):
         typed_empty,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "event_type", "ts"])
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -1362,7 +1491,7 @@ def events_zorder(sf_dir: str, bits: int = ZORDER_BITS):
     bit algebra with arithmetic shifts."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
 
     def code(b: pd.DataFrame) -> pd.DataFrame:
@@ -1385,7 +1514,8 @@ _ROLL_COLS = {"event_id": "int64", "user_id": "int64", "ts_us": "int64",
               "win_sum_micro": "int64", "win_n": "int64"}
 
 
-def events_rolling_window(sf_dir: str):
+def events_rolling_window(sf_dir: str,
+                          skew_safe_rows: int | None = None):
     """Per-user RANGE-frame rolling aggregates: for every event, the sum
     and count of the user's events in the preceding hour INCLUDING all
     timestamp peers (SQL ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
@@ -1396,12 +1526,20 @@ def events_rolling_window(sf_dir: str):
     Same partitioning contract as events_running_total: ONE user_id
     exchange; inside each complete-user partition one mergesort by
     (user, ts), per-user prefix sums, and two searchsorted probes give
-    every frame in O(n log n) — never a per-event rescan of the hour."""
+    every frame in O(n log n) — never a per-event rescan of the hour.
+    Skew dispatch (SKEW_SAFE_ROWS): above the bound the time-bucketed
+    arm partitions on (user, hour-bucket) instead — the frame width
+    equals the bucket width, so a previous-bucket context copy makes
+    every frame cell-local and no worker ever holds a whole hot user."""
     import ray.data
 
     from hebrew_ner_ray.ops.shuffle import bucketed_aggregate, partitions_for, typed_empty
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    if _events_rows(sf_dir) > (SKEW_SAFE_ROWS if skew_safe_rows is None
+                               else skew_safe_rows):
+        return _events_rolling_window_bucketed(sf_dir)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -1439,6 +1577,73 @@ def events_rolling_window(sf_dir: str):
                               coalesce=partitions_for())
 
 
+def _events_rolling_window_bucketed(sf_dir: str):
+    """Skew arm for events_rolling_window: partition on (user, bucket)
+    where bucket = ts // ROLLING_WINDOW_US. Because the RANGE frame is
+    exactly one bucket wide, an event's frame [t − 1 h, t] can only
+    reach into its own bucket and the one before — so each row is
+    shipped once as an OWN row and once as a CONTEXT copy into the NEXT
+    bucket, and every frame is computable cell-locally (own + context
+    rows, prefix sums, two searchsorted probes — the plain arm's kernel
+    on a bounded slice). Output rows come from own copies only, so
+    nothing is double-counted. Cost vs plain arm: 2× exchange payload;
+    gain: per-worker memory bounded by one hot hour, not one hot user."""
+    import ray.data
+
+    from hebrew_ner_ray.ops.shuffle import (
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def project2(b: pd.DataFrame) -> pd.DataFrame:
+        t = _epoch_us(b["ts"]).to_numpy()
+        base = pd.DataFrame(
+            {"event_id": b["event_id"].to_numpy(dtype=np.int64),
+             "user_id": b["user_id"].to_numpy(dtype=np.int64),
+             "ts_us": t, "value_micro": _micro(b["value"])})
+        own = base.assign(bucket=t // ROLLING_WINDOW_US, own=np.int64(1))
+        ctx = base.assign(bucket=t // ROLLING_WINDOW_US + 1, own=np.int64(0))
+        return pd.concat([own, ctx], ignore_index=True)
+
+    def per_cell_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_ROLL_COLS)
+        p = p.sort_values(["user_id", "bucket", "ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        u = p["user_id"].to_numpy()
+        bk = p["bucket"].to_numpy()
+        t = p["ts_us"].to_numpy()
+        v = p["value_micro"].to_numpy()
+        own = p["own"].to_numpy()
+        sums = np.empty(len(p), dtype=np.int64)
+        cnts = np.empty(len(p), dtype=np.int64)
+        new_cell = np.r_[True, (u[1:] != u[:-1]) | (bk[1:] != bk[:-1])]
+        bounds = np.r_[np.flatnonzero(new_cell), len(p)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts_seg = t[s:e]
+            csum = np.concatenate(([0], np.cumsum(v[s:e], dtype=np.int64)))
+            lo = np.searchsorted(ts_seg, ts_seg - ROLLING_WINDOW_US,
+                                 side="left")
+            hi = np.searchsorted(ts_seg, ts_seg, side="right")
+            sums[s:e] = csum[hi] - csum[lo]
+            cnts[s:e] = hi - lo
+        keep = own == 1
+        out = pd.DataFrame(
+            {"event_id": p["event_id"].to_numpy(dtype=np.int64)[keep],
+             "user_id": u[keep], "ts_us": t[keep],
+             "win_sum_micro": sums[keep], "win_n": cnts[keep]})
+        return out[list(_ROLL_COLS)].astype(_ROLL_COLS)
+
+    return bucketed_aggregate(
+        ds.map_batches(project2, batch_format="pandas"),
+        ["user_id", "bucket"], per_cell_partition,
+        coalesce=partitions_for())
+
+
 _ZSC_COLS = {"event_id": "int64", "event_type": "object",
              "value_centi": "int64", "direction": "object"}
 
@@ -1449,34 +1654,47 @@ def events_zscore_outliers(sf_dir: str):
     (n·x − S)² > 9·(n·S2 − S²) over exact centi-unit moment sums — no
     sqrt, no division, no last-ulp oracle risk anywhere.
 
-    Two streaming passes: a per-type (n, Σx, Σx²) combiner reduced to a
-    model-sized stats table (read once on the driver, types are a
-    handful), then a stateless vectorized filter pass. int64 bound: at
-    this value domain (x ≤ ~5.6e4) the cross-multiply stays exact to
-    ~10⁵ rows per type; beyond that the factors promote to a (hi, lo)
-    128-bit split with the same combiner shape (the
-    events_sufficient_stats contract)."""
+    Two streaming passes: a per-type (n, Σx, Σx², max|x|) combiner
+    reduced to a model-sized stats table (read once on the driver, types
+    are a handful), then a stateless vectorized filter pass. int64
+    bound, GUARDED at runtime: every intermediate (d², 9·(n·s2 − s²))
+    stays exact in int64 when n·max|x| ≤ ~1.01e9 (≈18k rows per type at
+    x ≤ 5.6e4 centi-units — conservative; the first actual wrap is the
+    d² term at ~5.4e4 rows); types past the bound promote to exact
+    arbitrary-precision Python-int arithmetic (object dtype), which
+    matches the DuckDB oracle's HUGEINT path bit-for-bit."""
     import ray.data
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
-    _S = {"event_type": "object", "n": "int64", "s": "int64", "s2": "int64"}
+    _S = {"event_type": "object", "n": "int64", "s": "int64", "s2": "int64",
+          "xmax": "int64"}
+    # n·max|x| ≤ this keeps d² ≤ 4·(n·xmax)² and 9·(n·s2 − s²) ≤
+    # 9·(n·xmax)² both under 2⁶³ − 1
+    _SAFE_NXMAX = int(((2**63 - 1) // 9) ** 0.5)  # 1_012_076_068
 
     def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
         x = np.floor(b["value"].to_numpy() * 100).astype(np.int64)
+        if len(x) and int(np.abs(x).max()) >= 2**31:
+            raise OverflowError(
+                "events_zscore_outliers: |value_centi| >= 2^31 — x² "
+                "would wrap in the int64 combiner; widen the combiner "
+                "to a (hi, lo) split for this value domain")
         return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
                               "n": np.ones(len(b), dtype=np.int64),
-                              "s": x, "s2": x * x})
-                .groupby("event_type", as_index=False)[["n", "s", "s2"]]
-                .sum().astype(_S))
+                              "s": x, "s2": x * x, "xmax": np.abs(x)})
+                .groupby("event_type", as_index=False)
+                .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+                     xmax=("xmax", "max")).astype(_S))
 
     def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return typed_empty(_S)
-        return (g.groupby("event_type", as_index=False)[["n", "s", "s2"]]
-                .sum().astype(_S))
+        return (g.groupby("event_type", as_index=False)
+                .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+                     xmax=("xmax", "max")).astype(_S))
 
-    read = lambda: ray.data.read_parquet(  # noqa: E731
+    read = lambda: read_parquet_clean(  # noqa: E731
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
 
     stats = small_key_aggregate(
@@ -1484,6 +1702,10 @@ def events_zscore_outliers(sf_dir: str):
         stat_merge).to_pandas()
     model = {r.event_type: (int(r.n), int(r.s), int(r.s2))
              for r in stats.itertuples()}
+    # types whose moments could wrap the int64 cross-multiply take the
+    # exact arbitrary-precision path (Python ints, object dtype)
+    wide_types = {r.event_type for r in stats.itertuples()
+                  if int(r.n) * int(r.xmax) > _SAFE_NXMAX}
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
         x = np.floor(b["value"].to_numpy() * 100).astype(np.int64)
@@ -1493,6 +1715,16 @@ def events_zscore_outliers(sf_dir: str):
         s2 = np.array([model[t][2] for t in et], dtype=np.int64)
         d = n * x - s
         out = d * d > 9 * (n * s2 - s * s)
+        if wide_types:
+            w = np.isin(et, list(wide_types))
+            if w.any():
+                no, so, s2o, xo = (a[w].astype(object) for a in
+                                   (n, s, s2, x))
+                do = no * xo - so
+                out[w] = (do * do > 9 * (no * s2o - so * so))
+                # exact sign for the direction label (d may have wrapped)
+                d[w] = np.array([(v > 0) - (v < 0) for v in do],
+                                dtype=np.int64)
         if not out.any():
             return typed_empty(_ZSC_COLS)
         b = b[out]

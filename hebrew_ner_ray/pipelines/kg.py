@@ -11,6 +11,8 @@ session.
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 from hebrew_ner_ray.kg.canonical import build_edges, build_nodes
 from hebrew_ner_ray.pipelines.stages import AnnotateBatch, filter_text_spans
 from hebrew_ner_ray.sources.interleaved import flatten_spans, read_interleaved
@@ -199,6 +201,6 @@ def build_graph_resumable(sf_dir: str, work_dir: str, n_partitions: int = 8,
             out.extend(os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
         return out
 
-    mentions = ray.data.read_parquet(_files("mentions"))
-    triples = ray.data.read_parquet(_files("triples"))
+    mentions = read_parquet_clean(_files("mentions"))
+    triples = read_parquet_clean(_files("triples"))
     return build_nodes(mentions), build_edges(triples)

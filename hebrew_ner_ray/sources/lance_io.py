@@ -15,6 +15,8 @@ layout stable without it.
 
 from __future__ import annotations
 
+from hebrew_ner_ray.ops.io import read_parquet_clean
+
 
 def lance_available() -> bool:
     try:
@@ -42,7 +44,7 @@ def read_interleaved_table(path: str):
 
     if lance_available():
         return ray.data.read_lance(path, columns=["doc_id", "spans"])
-    return ray.data.read_parquet(path, columns=["doc_id", "spans"])
+    return read_parquet_clean(path, columns=["doc_id", "spans"])
 
 
 def write_graph_tables(nodes, edges, out_dir: str) -> str:

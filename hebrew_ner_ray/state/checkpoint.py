@@ -130,6 +130,10 @@ def run_partitioned(
         t0 = time.perf_counter()
         ds = build(k)
         ds.write_parquet(tmp)
+        # an EMPTY partition writes no files and write_parquet then never
+        # creates the directory — commit an empty dir rather than crash
+        # (valid: zero rows for this partition)
+        os.makedirs(tmp, exist_ok=True)
         import pyarrow.parquet as pq
 
         n_rows = 0

@@ -51,6 +51,42 @@ def test_snapshot_ingest_matches_parity_query_and_skips_base(ray_session, snap_r
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_tiny_corpus_empty_shards_dont_wedge(ray_session, tmp_path):
+    """A corpus too small to populate every base shard: empty shard=<k>
+    partitions are backfilled before _CRAWL_DONE commits, so the day-1
+    index build reads all BASE_SHARDS dirs without FileNotFoundError
+    (regression: write_parquet(partition_cols) omits empty shards and a
+    missing dir wedged the snapshot root AFTER the marker)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.kg.ids import stable_ids
+    from hebrew_ner_ray.ops.incremental import (
+        BASE_SHARDS,
+        build_base_index,
+        ingest_delta,
+        materialize_crawl,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                         "text": [f"doc {i}" for i in range(5)]})
+    pq.write_table(pa.Table.from_pandas(docs),
+                   str(sf / "documents.parquet"))
+    root = str(tmp_path / "snap")
+    materialize_crawl(str(sf), root)
+    base_dirs = sorted(d for d in os.listdir(os.path.join(root, "base_docs"))
+                       if d.startswith("shard="))
+    assert base_dirs == sorted(f"shard={k}" for k in range(BASE_SHARDS))
+    assert sorted(build_base_index(root)) == list(range(BASE_SHARDS))
+    got = ingest_delta(root).to_pandas().sort_values("doc_id")
+    h = stable_ids([str(i) for i in docs["doc_id"]])
+    expect = sorted(int(i) for i in docs.loc[h % 2 == 1, "doc_id"])
+    assert got["doc_id"].tolist() == expect  # texts unique → all kept
+
+
 def test_crawl_materialization_is_idempotent(ray_session, snap_root):
     from hebrew_ner_ray.ops.incremental import materialize_crawl
 

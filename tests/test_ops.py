@@ -1015,6 +1015,33 @@ def test_zscore_outliers_integer_boundary(ray_session, tmp_path):
     assert events_zscore_outliers(str(d2)).to_pandas().empty
 
 
+def test_zscore_outliers_wide_promotion(ray_session, tmp_path):
+    """Values past the int64-safe bound (n·max|x| > ~1.01e9): the type
+    promotes to exact arbitrary-precision arithmetic. Here the spike's
+    d² is 1e20 — ~11× past int64, a silent wrap without the guard —
+    yet the 10-zeros-one-spike shape must still flag exactly the spike
+    (z² = 10 > 9) and nothing else."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_zscore_outliers
+
+    n = 11
+    t = pa.table({
+        "event_id": list(range(n)),
+        "ts": pa.array([pd.Timestamp("2025-01-01")] * n,
+                       type=pa.timestamp("us")),
+        "user_id": [1] * n,
+        "event_type": ["t"] * n,
+        "value": [0.0] * 10 + [10_000_000.0],  # 1e9 centi-units
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = events_zscore_outliers(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"event_id": 10, "event_type": "t",
+         "value_centi": 1_000_000_000, "direction": "high"}]
+
+
 def test_rolling_window_range_frame_peers_and_expiry(ray_session, tmp_path):
     """RANGE-frame semantics: timestamp peers share one frame; events
     older than exactly one hour fall out (boundary is inclusive)."""
@@ -1039,6 +1066,110 @@ def test_rolling_window_range_frame_peers_and_expiry(ray_session, tmp_path):
     # e1: itself. e2/e3: peers — both frames = {e1,e2,e3} (boundary ts
     # exactly 1h back is INCLUDED). e4: 1h+1µs after e1 → e1 expired,
     # frame {e2,e3,e4}. e5: 2h after peers → only itself.
+    assert out["win_sum_micro"].tolist() == [
+        1_000_000, 7_000_000, 7_000_000, 14_000_000, 16_000_000]
+    assert out["win_n"].tolist() == [1, 3, 3, 3, 1]
+
+
+def _write_skew_events(path, rng, n=400, users=(7,), span_hours=6):
+    """Events concentrated on few users, timestamps crossing many hour
+    buckets, with exact-boundary ties and long durations — the corpus
+    shape the skew arms exist for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2025-01-01 00:00:00").value // 1000
+    us = rng.choice(list(users), size=n)
+    # mix of arbitrary offsets, exact hour-boundary hits, and peers
+    offs = rng.integers(0, span_hours * 3_600_000_000, size=n)
+    offs[:: 7] = (offs[:: 7] // 3_600_000_000) * 3_600_000_000
+    offs[1:: 11] = offs[:: 11][: len(offs[1:: 11])]
+    # durations from zero (dropped by concurrency) to multi-hour
+    durs = rng.choice([0.0, 1.0, 59.0, 3600.0, 7200.0, 9999.5], size=n)
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime((base + offs), unit="us"), type=pa.timestamp("us")),
+        "user_id": pa.array(us, type=pa.int64()),
+        "value": pa.array(durs, type=pa.float64()),
+    })
+    pq.write_table(t, f"{path}/events.parquet")
+
+
+def test_concurrency_skew_arms_agree(ray_session, tmp_path):
+    """The time-bucketed skew arm must reproduce the plain per-user
+    sweep exactly — including on a pathological single-user corpus with
+    multi-bucket-spanning intervals, zero-length drops, and boundary
+    ties (skew_safe_rows=0 forces the bucketed arm)."""
+    import numpy as np
+
+    from hebrew_ner_ray.ops.windows import events_concurrency
+
+    rng = np.random.default_rng(11)
+    _write_skew_events(tmp_path, rng, users=(7,))
+    plain = (events_concurrency(str(tmp_path)).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    bucketed = (events_concurrency(str(tmp_path), skew_safe_rows=0)
+                .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, bucketed)
+    assert len(plain) == 1 and plain["max_concurrency"].iloc[0] >= 1
+
+
+def test_concurrency_skew_arms_agree_multiuser(ray_session, tmp_path):
+    import numpy as np
+
+    from hebrew_ner_ray.ops.windows import events_concurrency
+
+    rng = np.random.default_rng(13)
+    _write_skew_events(tmp_path, rng, users=(1, 2, 3, 99))
+    plain = (events_concurrency(str(tmp_path)).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    bucketed = (events_concurrency(str(tmp_path), skew_safe_rows=0)
+                .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, bucketed)
+
+
+def test_rolling_window_skew_arms_agree(ray_session, tmp_path):
+    """Bucketed rolling window (previous-bucket context copies) must
+    match the whole-user kernel row for row on a single-user corpus
+    with frames crossing bucket boundaries and peer ties."""
+    import numpy as np
+
+    from hebrew_ner_ray.ops.windows import events_rolling_window
+
+    rng = np.random.default_rng(17)
+    _write_skew_events(tmp_path, rng, users=(7,))
+    cols = ["event_id", "user_id", "ts_us", "win_sum_micro", "win_n"]
+    plain = (events_rolling_window(str(tmp_path)).to_pandas()
+             .sort_values("event_id").reset_index(drop=True)[cols])
+    bucketed = (events_rolling_window(str(tmp_path), skew_safe_rows=0)
+                .to_pandas().sort_values("event_id")
+                .reset_index(drop=True)[cols])
+    pd.testing.assert_frame_equal(plain, bucketed)
+
+
+def test_rolling_window_skew_arm_boundary(ray_session, tmp_path):
+    """The bucketed arm on the hand-built boundary corpus from
+    test_rolling_window_range_frame_peers_and_expiry: same expected
+    frames (peer inclusion, exact 1 h expiry) across bucket edges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.windows import events_rolling_window
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    hr = pd.Timedelta(hours=1)
+    t = pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pa.array([base, base + hr, base + hr,
+                        base + hr + pd.Timedelta(microseconds=1),
+                        base + 3 * hr], type=pa.timestamp("us")),
+        "user_id": [7, 7, 7, 7, 7],
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = (events_rolling_window(str(tmp_path), skew_safe_rows=0)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert out["win_sum_micro"].tolist() == [
         1_000_000, 7_000_000, 7_000_000, 14_000_000, 16_000_000]
     assert out["win_n"].tolist() == [1, 3, 3, 3, 1]
@@ -1074,6 +1205,29 @@ def test_entity_cooccurrence_known_docs(ray_session):
     lo, hi = min(ea, eb), max(ea, eb)
     assert out.to_dict("records") == [
         {"a_id": lo, "b_id": hi, "weight": 2}]
+
+
+def test_media_edges_cross_block_mentions(ray_session):
+    """A doc whose mentions straddle a block boundary must still yield
+    ONE (entity_id, media_ref) edge with the SUMMED weight — the
+    per-batch (doc, entity, n) partials re-aggregate inside the doc_id
+    exchange before pairing with media refs (regression: split weights
+    1 and 2 instead of one row of 3)."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.canonical import build_media_edges
+    from hebrew_ner_ray.kg.ids import entity_id
+
+    m1 = pd.DataFrame({"doc_id": ["d1"], "cat": ["PER"], "norm_key": ["a"]})
+    m2 = pd.DataFrame({"doc_id": ["d1", "d1"], "cat": ["PER", "PER"],
+                       "norm_key": ["a", "a"]})
+    mentions = ray.data.from_pandas([m1, m2])  # two blocks, one doc
+    media = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": ["d1"], "kind": ["image"], "media_ref": ["ref1"]}))
+    out = build_media_edges(mentions, media).to_pandas()
+    assert out.to_dict("records") == [
+        {"entity_id": entity_id("PER", "a"), "media_ref": "ref1",
+         "weight": 3}]
 
 
 def test_running_total_tiebreak_and_first_gap(ray_session, tmp_path):
