@@ -135,8 +135,13 @@ def graph_from_kg_rows(kg_ds, sort: bool = True):
                             count=n_partials)
     edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
     if sort:
-        nodes = nodes.sort("entity_id")
-        edges = edges.sort(["subj_id", "pred", "obj_id"])
+        # _arrow_clean before every sort of a pandas-origin table: the
+        # Project conversion re-attaches b'pandas' schema metadata, which
+        # is unhashable inside the Sort's unify_schemas (ops/shuffle.py)
+        from hebrew_ner_ray.ops.shuffle import _arrow_clean
+
+        nodes = _arrow_clean(nodes).sort("entity_id")
+        edges = _arrow_clean(edges).sort(["subj_id", "pred", "obj_id"])
     return nodes, edges
 
 
@@ -197,7 +202,10 @@ def build_edges(triples_ds, sort: bool = True):
     edges = keyed_aggregate(partials, ["subj_id", "pred", "obj_id"], reduce,
                             count=partials.count())
     edges = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
-    return edges.sort(["subj_id", "pred", "obj_id"]) if sort else edges
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean
+
+    return (_arrow_clean(edges).sort(["subj_id", "pred", "obj_id"])
+            if sort else edges)
 
 
 _NODE_COLS = {"entity_id": "int64", "canonical_form": "object",
@@ -338,7 +346,10 @@ def build_media_edges(mentions_ds, media_ds, sort: bool = True):
 
     edges = bucketed_aggregate(ments.union(media), ["doc_id"], join,
                                coalesce=partitions_for())
-    return edges.sort(["entity_id", "media_ref"]) if sort else edges
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean
+
+    return (_arrow_clean(edges).sort(["entity_id", "media_ref"])
+            if sort else edges)
 
 
 ENTITY_PAIR_DOC_CAP = 64  # docs with more distinct entities are excluded
@@ -407,4 +418,6 @@ def build_entity_cooccurrence(mentions_ds, sort: bool = True):
 
     edges = bucketed_aggregate(partials, ["a_id", "b_id"], reduce,
                                coalesce=partitions_for())
-    return edges.sort(["a_id", "b_id"]) if sort else edges
+    from hebrew_ner_ray.ops.shuffle import _arrow_clean
+
+    return _arrow_clean(edges).sort(["a_id", "b_id"]) if sort else edges

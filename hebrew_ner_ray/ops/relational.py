@@ -313,36 +313,42 @@ def shipping_priority(sf_dir: str, k: int = 10,
         keys_ref = ray.put(np.sort(
             cust.column("c_custkey").to_numpy()[seg == Q3_SEGMENT]))
 
-        class OrderSide:
-            def __init__(self):
-                self.keys = ray.get(keys_ref)
+        # Arrow task closure (see the Q8 sides for the rationale: the
+        # "setup" is a zero-copy ray.get, an actor pool buys nothing,
+        # and Arrow output keeps the union with line_side homogeneous)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                b = b[b["o_orderdate"].astype(str) < Q3_CUTOFF]
-                if len(self.keys) == 0:
-                    b = b.iloc[:0]
-                else:
-                    ck = b["o_custkey"].to_numpy()
-                    pos = np.searchsorted(self.keys, ck)
-                    pos[pos == len(self.keys)] = 0
-                    b = b[self.keys[pos] == ck]
-                return pd.DataFrame(
-                    {
-                        "l_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
-                        "revenue_cents": np.zeros(len(b), dtype=np.int64),
-                        # explicit date-only render (oracle strftime %Y-%m-%d);
-                        # astype(str) would drift to '… 00:00:00' on non-midnight data
-                        "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
-                        "o_orderpriority": b["o_orderpriority"].to_numpy(),
-                        "side": np.zeros(len(b), dtype=np.int64),
-                    }
-                )
+        q3_cut_o = pa.scalar(pd.Timestamp(Q3_CUTOFF), type=pa.timestamp("us"))
+
+        def order_side(t: "pa.Table") -> "pa.Table":
+            keys = ray.get(keys_ref)
+            t = t.filter(pc.less(t.column("o_orderdate"), q3_cut_o))
+            if len(keys) == 0:
+                t = t.slice(0, 0)
+            else:
+                ck = (t.column("o_custkey").combine_chunks()
+                      .to_numpy(zero_copy_only=False))
+                pos = np.searchsorted(keys, ck)
+                pos[pos == len(keys)] = 0
+                t = t.filter(pa.array(keys[pos] == ck))
+            n = t.num_rows
+            z = pa.repeat(pa.scalar(0, type=pa.int64()), n)
+            return pa.table({
+                "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "revenue_cents": z,
+                # explicit date-only render (oracle strftime %Y-%m-%d)
+                "o_orderdate": pc.strftime(t.column("o_orderdate"),
+                                           format="%Y-%m-%d"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "side": z,
+            })
 
         orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-        ).map_batches(OrderSide, batch_format="pandas",
-                      concurrency=default_concurrency())
+        ).map_batches(order_side, batch_format="pyarrow",
+                      zero_copy_batch=True)
     else:
         orders = _q3_orders_exchange(sf_dir)
 
@@ -2800,6 +2806,9 @@ def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     rkeys = set(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"].astype("int64"))
     region_nations = np.sort(
         nat.loc[nat["n_regionkey"].astype("int64").isin(rkeys),
@@ -2829,9 +2838,6 @@ def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
         # Arrow-native: the scan's filter/arithmetic/groupby never pays
         # the Arrow→pandas copy; the supplier membership probe drops to
         # numpy searchsorted on the zero-copy key column.
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         q8_lo = pa.scalar(pd.Timestamp(Q8_LO), type=pa.timestamp("us"))
         q8_hi = pa.scalar(pd.Timestamp(Q8_HI), type=pa.timestamp("us"))
 
@@ -2881,22 +2887,25 @@ def market_share(sf_dir: str, broadcast_dim_limit: int = BROADCAST_DIM_LIMIT):
             set(region_nations.tolist()))]
         ckeys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
 
-        def order_side(b: pd.DataFrame) -> pd.DataFrame:
-            # task closure; see line_side for why no actor pool
-            _, ok = dim_lookup(ray.get(ckeys_ref),
-                               b["o_custkey"].to_numpy(dtype=np.int64))
-            b = b[ok]
-            n = len(b)
-            return pd.DataFrame(
-                {"orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
-                 "is_target": np.zeros(n, dtype=np.int64),
-                 "l_year": np.zeros(n, dtype=np.int64),
-                 "cents": np.zeros(n, dtype=np.int64),
-                 "side": np.zeros(n, dtype=np.int64)}).astype(_ROW)
+        def order_side(t: "pa.Table") -> "pa.Table":
+            # task closure; see line_side for why no actor pool. Arrow
+            # output keeps the union with line_side single-block-type
+            # (mixed pandas/Arrow unions log schema-drift warnings and
+            # trip Ray 2.49's shuffle-reduce block-type assertion).
+            ck = (t.column("o_custkey").combine_chunks()
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+            _, ok = dim_lookup(ray.get(ckeys_ref), ck)
+            t = t.filter(pa.array(ok))
+            n = t.num_rows
+            z = pa.repeat(pa.scalar(0, type=pa.int64()), n)
+            return pa.table({
+                "orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "is_target": z, "l_year": z, "cents": z, "side": z})
 
         orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-        ).map_batches(order_side, batch_format="pandas")
+        ).map_batches(order_side, batch_format="pyarrow",
+                      zero_copy_batch=True)
     else:
         orders = _q8_orders_exchange(sf_dir, region_nations)
 

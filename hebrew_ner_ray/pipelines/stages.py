@@ -468,4 +468,8 @@ def add_entity_ids(batch: pa.Table) -> pa.Table:
          zip(batch.column("cat").to_pylist(), batch.column("norm_key").to_pylist())],
         dtype=np.int64,
     )
-    return batch.append_column("entity_id", pa.array(ids))
+    out = batch.append_column("entity_id", pa.array(ids))
+    # pandas-origin input batches carry b'pandas' schema metadata, which
+    # is unhashable downstream (Sort/shuffle unify_schemas) — strip it
+    # here so the node table's blocks always hash cleanly
+    return out.replace_schema_metadata(None) if out.schema.metadata else out
