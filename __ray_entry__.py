@@ -70,6 +70,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return pagerank(build_edges(annotated(sf_dir, "triples"), sort=False))
 
+    def kg_pagerank_eps(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import pagerank_eps
+
+        return pagerank_eps(build_edges(annotated(sf_dir, "triples"),
+                                        sort=False))
+
     def kg_components(sf_dir: str):
         from hebrew_ner_ray.kg.graphstats import components
 
@@ -254,6 +260,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_triangles": kg_triangles,
         "kg_pagerank": kg_pagerank,
+        "kg_pagerank_eps": kg_pagerank_eps,
         "kg_components": kg_components,
         "kg_bfs_depths": kg_bfs_depths,
         "kg_shortest_paths": kg_shortest_paths,
@@ -296,6 +303,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_edges": o.sql_edges(),
         "kg_triangles": o.sql_triangles(),
         "kg_pagerank": o.sql_pagerank(),
+        "kg_pagerank_eps": o.sql_pagerank_eps(),
         "kg_components": o.sql_components(),
         "kg_bfs_depths": o.sql_bfs_depths(),
         "kg_shortest_paths": o.sql_shortest_paths(),

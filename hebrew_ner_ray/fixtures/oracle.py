@@ -451,6 +451,71 @@ SELECT node AS entity_id, r AS rank_pico FROM {prev} ORDER BY entity_id
 """
 
 
+def sql_pagerank_eps(eps_div: int = 8, max_rounds: int = 20) -> str:
+    """Unrolled iterate-to-epsilon twin of kg/graphstats.pagerank_eps:
+    the same integer rounds as :func:`sql_pagerank`, plus one max-delta
+    scalar per round (d{i} = max |r{i} − r{i−1}|) and a first-crossing
+    selector — the result is round k's ranks where k is the FIRST round
+    with d{k} ≤ eps_pico = SCALE // (eps_div · N), with ``rounds`` = k
+    as an oracle-checked output column. The engine raises if no round
+    converges within ``max_rounds``; the twin mirrors that by selecting
+    nothing (coalesce chain exhausts) — a mismatch either way would
+    surface in the gate."""
+    scale = 1_000_000_000_000
+    base = scale * 15 // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, max_rounds + 1):
+        rounds.append(f"""c{i} AS MATERIALIZED (
+  SELECT s.v AS node, CAST(sum(p.r // p.d) AS BIGINT) AS c
+  FROM sym s JOIN {prev} p ON s.u = p.node GROUP BY s.v
+),
+r{i} AS MATERIALIZED (
+  SELECT d.node AS node, d.d AS d,
+         CAST(({base} // nn.n) + ((85 * coalesce(c.c, 0)) // 100) AS BIGINT)
+           AS r
+  FROM deg d LEFT JOIN c{i} c ON d.node = c.node, nn
+),
+d{i} AS MATERIALIZED (
+  SELECT max(abs(a.r - b.r)) AS dm FROM r{i} a JOIN {prev} b
+  ON a.node = b.node
+)""")
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    first = " ".join(
+        f"WHEN (SELECT dm FROM d{i}) <= ep.e THEN {i}"
+        for i in range(1, max_rounds + 1))
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT node, r, {i} AS k FROM r{i}"
+        for i in range(1, max_rounds + 1))
+    # every CTE is MATERIALIZED: the round chain references r{{i-1}}
+    # twice (contributions + delta) and DuckDB's default inlining
+    # re-evaluates the whole prefix per reference — exponential in the
+    # round count (measured: 20 rounds never finished; materialized the
+    # same query runs in seconds)
+    return f"""WITH eg AS MATERIALIZED (
+{sql_edges()}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+ep AS MATERIALIZED (SELECT CAST({scale} // ({eps_div} * nn.n) AS BIGINT) AS e FROM nn),
+r0 AS MATERIALIZED (SELECT deg.node, deg.d, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM deg, nn),
+{body},
+sel AS (SELECT CASE {first} END AS k FROM ep),
+allr AS (
+{unions}
+)
+SELECT a.node AS entity_id, a.r AS rank_pico, CAST(a.k AS BIGINT) AS rounds
+FROM allr a, sel WHERE a.k = sel.k ORDER BY entity_id
+"""
+
+
 def sql_components() -> str:
     """Weakly connected components of the undirected entity graph —
     recursive transitive closure, min reachable id per node (the exact

@@ -337,6 +337,158 @@ def pagerank(edges_ds, iters: int = PR_ITERS) -> "object":
     return out.sort("entity_id")
 
 
+PR_EPS_DIV = 8        # eps_pico = PR_SCALE // (PR_EPS_DIV · N)
+PR_EPS_MAX_ROUNDS = 20
+
+_PR_EPS_COLS = {"entity_id": "int64", "rank_pico": "int64",
+                "rounds": "int64"}
+
+
+def pagerank_eps(edges_ds, eps_div: int = PR_EPS_DIV,
+                 max_rounds: int = PR_EPS_MAX_ROUNDS) -> "object":
+    """PageRank iterated TO CONVERGENCE instead of a fixed round count:
+    stop at the first round whose max per-node rank change is ≤
+    eps_pico = PR_SCALE // (eps_div · N) — the iterate-to-epsilon
+    contract, with the same raise-on-round-overflow guard as BFS/SSSP
+    (never a silent partial answer). Output carries the oracle-checked
+    ``rounds`` column (the stopping round), and the SQL twin unrolls
+    ``max_rounds`` rounds with per-round max-delta scalars and selects
+    the FIRST round that crosses the threshold — bit-identical integer
+    arithmetic per round (same pinned floor divisions as
+    :func:`pagerank`).
+
+    Per round: the two keyed exchanges of :func:`pagerank` plus one
+    model-sized distributed max over the per-node deltas (the delta
+    column never reaches the driver, only the scalar). Both per-round
+    aggregations are size-aware (keyed_aggregate with the known
+    edge+node row bound): small graphs reduce in ONE task per round
+    instead of paying ~2 s of hash-aggregator spin-up per exchange —
+    at 18 convergence rounds that fixed cost dominated everything."""
+    from hebrew_ner_ray.ops.shuffle import keyed_aggregate, typed_empty
+
+    und = _distinct_undirected(edges_ds).materialize()
+    deg = _degrees(und).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return und.map_batches(
+            lambda b: pd.DataFrame({c: pd.Series(dtype=t)
+                                    for c, t in _PR_EPS_COLS.items()}),
+            batch_format="pandas")
+    base = (PR_SCALE * 15 // 100) // n_nodes
+    r0 = PR_SCALE // n_nodes
+    eps_pico = PR_SCALE // (eps_div * n_nodes)
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas").materialize()
+
+    ranks = deg.map_batches(
+        lambda b: b.assign(r=np.full(len(b), r0, dtype=np.int64)),
+        batch_format="pandas").materialize()  # (node, d, r)
+
+    _EX1 = {"k": "int64", "v": "int64", "r": "int64", "d": "int64",
+            "side": "int64"}
+    _CTB = {"node": "int64", "c": "int64"}
+    _EX2 = {"node": "int64", "c": "int64", "d": "int64", "r": "int64",
+            "side": "int64"}
+    _RNK = {"node": "int64", "d": "int64", "r": "int64", "delta": "int64"}
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b["u"], "v": b["v"], "r": np.zeros(n, dtype=np.int64),
+             "d": np.zeros(n, dtype=np.int64),
+             "side": np.ones(n, dtype=np.int64)}).astype(_EX1)
+
+    def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"k": b["node"], "v": np.zeros(n, dtype=np.int64),
+             "r": b["r"], "d": b["d"],
+             "side": np.zeros(n, dtype=np.int64)}).astype(_EX1)
+
+    def contrib(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CTB)
+        rk = p[p["side"] == 0][["k", "r", "d"]]
+        e = p[p["side"] == 1][["k", "v"]]
+        m = e.merge(rk, on="k")
+        out = pd.DataFrame({"node": m["v"].to_numpy(dtype=np.int64),
+                            "c": (m["r"] // m["d"]).to_numpy(dtype=np.int64)})
+        return (out.groupby("node", as_index=False).agg(c=("c", "sum"))
+                .astype(_CTB))
+
+    def ctb_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {"node": b["node"], "c": b["c"], "d": np.zeros(n, dtype=np.int64),
+             "r": np.zeros(n, dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64)}).astype(_EX2)
+
+    def old_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # unlike pagerank's static deg side, the epsilon variant ships
+        # the CURRENT ranks so the update kernel can emit per-node deltas
+        n = len(b)
+        return pd.DataFrame(
+            {"node": b["node"], "c": np.zeros(n, dtype=np.int64),
+             "d": b["d"], "r": b["r"],
+             "side": np.ones(n, dtype=np.int64)}).astype(_EX2)
+
+    def newrank(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_RNK)
+        s = (p[p["side"] == 0].groupby("node", as_index=False)
+             .agg(c=("c", "sum")))
+        dd = p[p["side"] == 1][["node", "d", "r"]]
+        m = dd.merge(s, on="node", how="left")
+        c = m["c"].fillna(0).to_numpy(dtype=np.int64)
+        new_r = base + (85 * c) // 100
+        m["delta"] = np.abs(new_r - m["r"].to_numpy(dtype=np.int64))
+        m["r"] = new_r
+        return m[list(_RNK)].astype(_RNK)
+
+    sym_count = sym.count()  # free: materialized
+    # exact for u1 (edges + ranks); a valid upper bound for u2 (contrib
+    # partials are per-(partition, node) ≤ sym rows, plus the rank rows)
+    row_bound = sym_count + n_nodes
+
+    rounds_run = 0
+    for i in range(1, max_rounds + 1):
+        u1 = sym.map_batches(edge_rows, batch_format="pandas").union(
+            ranks.map_batches(rank_rows, batch_format="pandas"))
+        contribs = keyed_aggregate(u1, ["k"], contrib, count=row_bound)
+        u2 = contribs.map_batches(ctb_rows, batch_format="pandas").union(
+            ranks.map_batches(old_rows, batch_format="pandas"))
+        nxt = keyed_aggregate(u2, ["node"], newrank,
+                              count=row_bound).materialize()
+        delta_max = int(nxt.max("delta") or 0)
+        ranks = nxt.select_columns(["node", "d", "r"]).materialize()
+        if delta_max <= eps_pico:
+            rounds_run = i
+            break
+    else:
+        raise RuntimeError(
+            f"pagerank_eps: no convergence to eps_pico={eps_pico} within "
+            f"{max_rounds} rounds (last max delta {delta_max}) — raise "
+            "max_rounds or loosen eps_div; a silent partial answer is "
+            "never returned")
+
+    k = rounds_run
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"entity_id": b["node"], "rank_pico": b["r"],
+             "rounds": np.full(len(b), k, dtype=np.int64)}
+        ).astype(_PR_EPS_COLS)
+
+    return ranks.map_batches(finish,
+                             batch_format="pandas").sort("entity_id")
+
+
 _COMP_COLS = {"entity_id": "int64", "component_id": "int64"}
 
 

@@ -1468,6 +1468,48 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert abs(int(out.sum()) - PR_SCALE) < nn * 100
 
 
+def test_pagerank_eps_converges_to_fixed_round(ray_session):
+    """Iterate-to-epsilon must stop at the FIRST round whose max delta
+    crosses the threshold, and its ranks must equal the fixed-round
+    variant unrolled exactly that many times (same integer recurrence)."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import pagerank, pagerank_eps
+
+    rng = np.random.RandomState(7)
+    n = 60
+    a = rng.randint(0, n, 300)
+    b = rng.randint(0, n, 300)
+    keep = a != b
+    e = pd.DataFrame({"subj_id": a[keep], "obj_id": b[keep],
+                      "pred": "p", "weight": 1})
+    out = (pagerank_eps(ray.data.from_pandas(e)).to_pandas()
+           .sort_values("entity_id").reset_index(drop=True))
+    k = int(out["rounds"].iloc[0])
+    assert 1 <= k <= 20 and (out["rounds"] == k).all()
+    fixed = (pagerank(ray.data.from_pandas(e), iters=k).to_pandas()
+             .sort_values("entity_id").reset_index(drop=True))
+    assert out["entity_id"].tolist() == fixed["entity_id"].tolist()
+    assert out["rank_pico"].tolist() == fixed["rank_pico"].tolist()
+
+
+def test_pagerank_eps_round_overflow_raises(ray_session):
+    """No silent partial answer: an unreachable epsilon within
+    max_rounds raises (the BFS/SSSP raise-on-overflow contract)."""
+    import pytest as _pytest
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import pagerank_eps
+
+    e = pd.DataFrame({"subj_id": [1, 2, 3], "obj_id": [2, 3, 4],
+                      "pred": "p", "weight": 1})
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        # eps_div huge → eps_pico 0; integer recurrence still moves by
+        # ±1 pico forever on most graphs, so 1 round cannot converge
+        pagerank_eps(ray.data.from_pandas(e), eps_div=10**9,
+                     max_rounds=1)
+
+
 def test_bloom_no_false_negatives_and_exact_semi(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
