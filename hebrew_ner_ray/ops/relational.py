@@ -855,29 +855,38 @@ def local_supplier_revenue(sf_dir: str,
         hit = keys[pos] == probe
         return hit, vals[pos[hit]]
 
-    class LineSide:
-        def __init__(self):
-            self.keys = ray.get(supkey_ref)
-            self.nats = ray.get(supnat_ref)
+    # Arrow task closure (the Q8 rationale: per-task "setup" is a
+    # zero-copy ray.get, the scan's filter/arithmetic/groupby stay in
+    # pyarrow, no actor pool to ramp)
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            hit, snat = _lookup(self.keys, self.nats,
-                                b["l_suppkey"].to_numpy(dtype=np.int64))
-            b = b[hit]
-            rev = np.floor(b["l_extendedprice"].to_numpy()
-                           * (1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
-            g = (pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                               "nat": snat, "revenue_cents": rev})
-                 .groupby(["l_orderkey", "nat"], as_index=False)
-                 .agg(revenue_cents=("revenue_cents", "sum"),
-                      n_li=("revenue_cents", "size")))
-            g["side"] = np.ones(len(g), dtype=np.int64)
-            return g[list(_Q5_MID)].astype(_Q5_MID)
+    def line_side(t: "pa.Table") -> "pa.Table":
+        keys, nats = ray.get(supkey_ref), ray.get(supnat_ref)
+        hit, snat = _lookup(keys, nats,
+                            t.column("l_suppkey").combine_chunks()
+                            .to_numpy(zero_copy_only=False).astype(np.int64))
+        t = t.filter(pa.array(hit))
+        rev = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "nat": pa.array(snat),
+                       "revenue_cents": rev})
+             .group_by(["l_orderkey", "nat"])
+             .aggregate([("revenue_cents", "sum"),
+                         ("revenue_cents", "count")])
+             .rename_columns(["l_orderkey", "nat", "revenue_cents",
+                              "n_li"]))
+        return g.append_column(
+            "side", pa.repeat(pa.scalar(1, type=pa.int64()), g.num_rows))
 
     lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(LineSide, batch_format="pandas", concurrency=default_concurrency())
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
 
     def _order_frame(okey: np.ndarray, cnat: np.ndarray) -> pd.DataFrame:
         return pd.DataFrame(
@@ -896,24 +905,30 @@ def local_supplier_revenue(sf_dir: str,
         ckey_ref = ray.put(cust["c_custkey"].to_numpy(dtype=np.int64))
         cnat_ref = ray.put(cust["c_nationkey"].to_numpy(dtype=np.int64))
 
-        class OrderSide:
-            def __init__(self):
-                self.keys = ray.get(ckey_ref)
-                self.nats = ray.get(cnat_ref)
+        q5_lo = pa.scalar(pd.Timestamp(Q5_LO), type=pa.timestamp("us"))
+        q5_hi = pa.scalar(pd.Timestamp(Q5_HI), type=pa.timestamp("us"))
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                d = b["o_orderdate"].astype(str)
-                b = b[(d >= Q5_LO) & (d < Q5_HI)]
-                hit, cnat = _lookup(self.keys, self.nats,
-                                    b["o_custkey"].to_numpy(dtype=np.int64))
-                return _order_frame(
-                    b["o_orderkey"].to_numpy(dtype=np.int64)[hit], cnat)
+        def order_side(t: "pa.Table") -> "pa.Table":
+            keys, nats = ray.get(ckey_ref), ray.get(cnat_ref)
+            od = t.column("o_orderdate")
+            t = t.filter(pc.and_(pc.greater_equal(od, q5_lo),
+                                 pc.less(od, q5_hi)))
+            hit, cnat = _lookup(keys, nats,
+                                t.column("o_custkey").combine_chunks()
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64))
+            t = t.filter(pa.array(hit))
+            z = pa.repeat(pa.scalar(0, type=pa.int64()), t.num_rows)
+            return pa.table({
+                "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "nat": pa.array(cnat),
+                "revenue_cents": z, "n_li": z, "side": z})
 
         orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        ).map_batches(OrderSide, batch_format="pandas",
-                      concurrency=default_concurrency())
+        ).map_batches(order_side, batch_format="pyarrow",
+                      zero_copy_batch=True)
     else:
         orders = _orders_with_cust_nation(sf_dir, region_nations)
 

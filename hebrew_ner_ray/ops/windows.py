@@ -136,7 +136,22 @@ def _merge_session_partials(g: pd.DataFrame) -> pd.DataFrame:
 def events_sessions(sf_dir: str):
     """Session windows (gap > 30 min) per user — per-batch session
     combiner, then a keyed exchange of SESSION partials (~10× smaller than
-    the raw events) merged per user."""
+    the raw events) merged per user.
+
+    Skew status (the per-key window family contract, see
+    events_concurrency): the combiner already bounds a hot user's
+    exchange volume to their PARTIAL-SESSION count (dense activity
+    collapses to few sessions per block), so the residual exposure is a
+    user whose DISTINCT session count alone exceeds a worker — an order
+    rarer than raw-event skew. A time-bucketed arm like
+    events_concurrency's is NOT cleanly available here: session merging
+    chains (a long carry session may absorb an arbitrary prefix of any
+    later bucket's sessions), so the exact distributed form needs a
+    per-user ordered scan over session-granularity partials — the same
+    co-location this plain arm already does. Documented rather than
+    dispatched; events_concurrency / events_rolling_window carry the
+    bucketed arms, events_top_per_user is combiner-bounded (≤ k rows
+    per (user, block))."""
     import ray.data
 
     from hebrew_ner_ray.ops.shuffle import sized_aggregate, typed_empty
@@ -1542,10 +1557,23 @@ def events_rolling_window(sf_dir: str,
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"event_id": b["event_id"], "user_id": b["user_id"],
-             "ts_us": _epoch_us(b["ts"]), "value_micro": _micro(b["value"])})
+    # Arrow-native projection: the scan's only work is two casts and a
+    # floor-multiply, so the batch never converts to pandas (floor(v·1e6)
+    # is the same IEEE multiply as the numpy kernel; timestamp[us] →
+    # int64 is the exact epoch-µs view)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "value_micro": pc.cast(
+                pc.floor(pc.multiply(t.column("value"),
+                                     pa.scalar(1_000_000.0))), pa.int64()),
+        })
 
     def per_partition(p: pd.DataFrame) -> pd.DataFrame:
         if p.empty:
@@ -1572,9 +1600,10 @@ def events_rolling_window(sf_dir: str,
              "win_sum_micro": sums, "win_n": cnts})
         return out[list(_ROLL_COLS)].astype(_ROLL_COLS)
 
-    return bucketed_aggregate(ds.map_batches(project, batch_format="pandas"),
-                              ["user_id"], per_partition,
-                              coalesce=partitions_for())
+    return bucketed_aggregate(
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], per_partition, coalesce=partitions_for())
 
 
 def _events_rolling_window_bucketed(sf_dir: str):
