@@ -40,6 +40,26 @@ def _micro(v: pd.Series) -> np.ndarray:
     return np.floor(v.to_numpy() * 1_000_000).astype(np.int64)
 
 
+def _project_events_arrow(t):
+    """Arrow-native (event_id, user_id, ts_us, value_micro) projection —
+    the scan stage shared by the per-user window family. Two casts and a
+    floor-multiply, zero pandas conversion; floor(v·1e6) is the same
+    IEEE multiply as :func:`_micro`, timestamp[us] → int64 the exact
+    epoch-µs view of :func:`_epoch_us`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "event_id": t.column("event_id"),
+        "user_id": t.column("user_id"),
+        "ts_us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+        "value_micro": pc.cast(
+            pc.floor(pc.multiply(t.column("value"),
+                                 pa.scalar(1_000_000.0))), pa.int64()),
+    })
+
+
 def tumbling_partials(batch: pd.DataFrame) -> pd.DataFrame:
     us = _epoch_us(batch["ts"])
     win = (us // WINDOW_US) * WINDOW_US
@@ -488,12 +508,6 @@ def events_running_total(sf_dir: str):
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"event_id": b["event_id"], "user_id": b["user_id"],
-             "ts_us": _epoch_us(b["ts"]), "value_micro": _micro(b["value"])}
-        )
-
     def per_partition(p: pd.DataFrame) -> pd.DataFrame:
         if p.empty:
             return typed_empty(_RT_COLS)
@@ -504,8 +518,10 @@ def events_running_total(sf_dir: str):
         p["running_value_micro"] = gb["value_micro"].cumsum().astype("int64")
         return p[list(_RT_COLS)].astype(_RT_COLS)
 
-    return bucketed_aggregate(ds.map_batches(project, batch_format="pandas"),
-                              ["user_id"], per_partition, coalesce=partitions_for())
+    return bucketed_aggregate(
+        ds.map_batches(_project_events_arrow, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], per_partition, coalesce=partitions_for())
 
 
 _MODE_COLS = {"user_id": "int64", "top_event_type": "object", "n_events": "int64"}
@@ -1557,23 +1573,7 @@ def events_rolling_window(sf_dir: str,
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
 
-    # Arrow-native projection: the scan's only work is two casts and a
-    # floor-multiply, so the batch never converts to pandas (floor(v·1e6)
-    # is the same IEEE multiply as the numpy kernel; timestamp[us] →
-    # int64 is the exact epoch-µs view)
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def project(t: "pa.Table") -> "pa.Table":
-        return pa.table({
-            "event_id": t.column("event_id"),
-            "user_id": t.column("user_id"),
-            "ts_us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
-                             pa.int64()),
-            "value_micro": pc.cast(
-                pc.floor(pc.multiply(t.column("value"),
-                                     pa.scalar(1_000_000.0))), pa.int64()),
-        })
+    project = _project_events_arrow
 
     def per_partition(p: pd.DataFrame) -> pd.DataFrame:
         if p.empty:
