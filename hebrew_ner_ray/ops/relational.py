@@ -2454,22 +2454,37 @@ def forecast_revenue(sf_dir: str):
     non-negative) to match DuckDB round(); np.round is half-to-even and
     would classify an exact .5-bp discount differently."""
     import ray.data
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from hebrew_ner_ray.ops.shuffle import small_key_aggregate, typed_empty
 
-    def fold(b: pd.DataFrame) -> pd.DataFrame:
-        d = b["l_shipdate"].dt.strftime("%Y-%m-%d")
-        bp = np.floor(b["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
-        m = ((d >= Q6_LO) & (d < Q6_HI)
-             & (bp >= 5) & (bp <= 7)
-             & (b["l_quantity"].to_numpy() < 24))
-        b = b[m.to_numpy() if hasattr(m, "to_numpy") else m]
-        if b.empty:
+    # Arrow-native scan fold (Q1 rationale): filter + two float chains +
+    # scalar sums, zero pandas conversion of the fact batch; the
+    # half-away bp rounding is the same floor(x·100 + 0.5)
+    q6_lo = pa.scalar(pd.Timestamp(Q6_LO), type=pa.timestamp("us"))
+    q6_hi = pa.scalar(pd.Timestamp(Q6_HI), type=pa.timestamp("us"))
+
+    def fold(t: "pa.Table") -> pd.DataFrame:
+        bp = pc.cast(pc.floor(pc.add(
+            pc.multiply(t.column("l_discount"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        ship = t.column("l_shipdate")
+        m = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(ship, q6_lo), pc.less(ship, q6_hi)),
+            pc.and_(pc.greater_equal(bp, pa.scalar(5, type=pa.int64())),
+                    pc.less_equal(bp, pa.scalar(7, type=pa.int64())))),
+            pc.less(t.column("l_quantity"), pa.scalar(24.0)))
+        t = t.filter(m)
+        if t.num_rows == 0:
             return typed_empty(_Q6_COLS)
-        cents = np.floor(b["l_extendedprice"].to_numpy()
-                         * b["l_discount"].to_numpy() * 100).astype(np.int64)
-        return pd.DataFrame({"revenue_cents": [np.int64(cents.sum())],
-                             "n_lineitems": [np.int64(len(b))]})
+        cents = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(t.column("l_extendedprice"),
+                        t.column("l_discount")),
+            pa.scalar(100.0))), pa.int64())
+        return pd.DataFrame(
+            {"revenue_cents": [np.int64(pc.sum(cents).as_py())],
+             "n_lineitems": [np.int64(t.num_rows)]})
 
     ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -2482,8 +2497,9 @@ def forecast_revenue(sf_dir: str):
              "n_lineitems": [np.int64(g["n_lineitems"].sum()) if len(g) else np.int64(0)]}
         ).astype(_Q6_COLS)
 
-    return small_key_aggregate(ds.map_batches(fold, batch_format="pandas"),
-                               final)
+    return small_key_aggregate(
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        final)
 
 
 Q12_LO, Q12_HI = "1996-01-01", "1998-01-01"
