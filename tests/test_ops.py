@@ -1468,6 +1468,45 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert abs(int(out.sum()) - PR_SCALE) < nn * 100
 
 
+def test_pricing_summary_cutoff_boundary_non_midnight(ray_session, tmp_path):
+    """Date-cutoff semantics pinned against DuckDB on NON-midnight data.
+
+    The engine compares timestamps (ship ≤ TIMESTAMP '1998-09-02'),
+    which matches what DuckDB's optimizer actually does with the
+    oracle's ``CAST(l_shipdate AS VARCHAR) <= '1998-09-02'`` on a table
+    column (the cast folds onto the literal). The retired pandas
+    ``astype(str)`` filter was ARRAY-GLOBAL: all-midnight arrays render
+    date-only but one non-midnight value flips the whole array to
+    ' 00:00:00' rendering and silently changes every boundary — this
+    test would have caught that trap."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hebrew_ner_ray.ops.relational import pricing_summary
+
+    ts = [pd.Timestamp("1998-09-02"),            # exact cutoff: IN
+          pd.Timestamp("1998-09-02 00:00:01"),   # past cutoff: OUT
+          pd.Timestamp("1998-09-01 23:59:59"),   # before: IN
+          pd.Timestamp("1998-09-03")]            # after: OUT
+    pq.write_table(pa.table({
+        "l_returnflag": ["A"] * 4, "l_linestatus": ["F"] * 4,
+        "l_quantity": [1.0, 2.0, 4.0, 8.0],
+        "l_extendedprice": [10.0] * 4, "l_discount": [0.0] * 4,
+        "l_shipdate": pa.array(ts, type=pa.timestamp("us")),
+    }), f"{tmp_path}/lineitem.parquet")
+    out = pricing_summary(str(tmp_path)).to_pandas()
+    assert out["sum_qty"].tolist() == [5]  # rows 1 and 3
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    want = con.execute(
+        "SELECT CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) "
+        "FROM lineitem WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'"
+    ).fetchone()[0]
+    assert int(out["sum_qty"].iloc[0]) == int(want)
+
+
 def test_pagerank_eps_converges_to_fixed_round(ray_session):
     """Iterate-to-epsilon must stop at the FIRST round whose max delta
     crosses the threshold, and its ranks must equal the fixed-round
