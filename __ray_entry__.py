@@ -76,6 +76,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return pagerank_eps(build_edges(annotated(sf_dir, "triples"),
                                         sort=False))
 
+    def kg_node_similarity(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import node_similarity
+
+        return node_similarity(build_edges(annotated(sf_dir, "triples"),
+                                           sort=False))
+
     def kg_components(sf_dir: str):
         from hebrew_ner_ray.kg.graphstats import components
 
@@ -261,6 +267,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": kg_triangles,
         "kg_pagerank": kg_pagerank,
         "kg_pagerank_eps": kg_pagerank_eps,
+        "kg_node_similarity": kg_node_similarity,
         "kg_components": kg_components,
         "kg_bfs_depths": kg_bfs_depths,
         "kg_shortest_paths": kg_shortest_paths,
@@ -304,6 +311,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_triangles": o.sql_triangles(),
         "kg_pagerank": o.sql_pagerank(),
         "kg_pagerank_eps": o.sql_pagerank_eps(),
+        "kg_node_similarity": o.sql_node_similarity(),
         "kg_components": o.sql_components(),
         "kg_bfs_depths": o.sql_bfs_depths(),
         "kg_shortest_paths": o.sql_shortest_paths(),

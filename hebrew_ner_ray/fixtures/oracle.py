@@ -516,6 +516,35 @@ FROM allr a, sel WHERE a.k = sel.k ORDER BY entity_id
 """
 
 
+def sql_node_similarity(deg_cap: int = 64) -> str:
+    """Twin of kg/graphstats.node_similarity: wedge-counted common
+    neighbors with FULL-graph degrees and the same center-degree cap;
+    jaccard_ppm is exact integer floor division on both sides. CTEs
+    materialized (the sym self-join is referenced through deg twice)."""
+    return f"""WITH eg AS MATERIALIZED (
+{sql_edges()}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+w AS MATERIALIZED (
+  SELECT s1.v AS a_id, s2.v AS b_id, CAST(count(*) AS BIGINT) AS common
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  JOIN deg dc ON dc.node = s1.u
+  WHERE dc.d <= {deg_cap}
+  GROUP BY 1, 2
+)
+SELECT w.a_id, w.b_id, w.common,
+       CAST((1000000 * w.common) // (da.d + db.d - w.common) AS BIGINT)
+         AS jaccard_ppm
+FROM w JOIN deg da ON da.node = w.a_id JOIN deg db ON db.node = w.b_id
+ORDER BY a_id, b_id
+"""
+
+
 def sql_components() -> str:
     """Weakly connected components of the undirected entity graph —
     recursive transitive closure, min reachable id per node (the exact

@@ -489,6 +489,141 @@ def pagerank_eps(edges_ds, eps_div: int = PR_EPS_DIV,
                              batch_format="pandas").sort("entity_id")
 
 
+NODE_SIM_DEG_CAP = 64  # wedge centers above this degree are excluded
+# (quadratic pair blowup — the ENTITY_PAIR_DOC_CAP idiom, mirrored by
+# the SQL twin's center-degree predicate)
+_NSIM_COLS = {"a_id": "int64", "b_id": "int64", "common": "int64",
+              "jaccard_ppm": "int64"}
+
+
+def node_similarity(edges_ds, deg_cap: int = NODE_SIM_DEG_CAP,
+                    sort: bool = True):
+    """Neighbor-set Jaccard similarity for node pairs sharing at least
+    one neighbor — the link-prediction staple: common = |N(a) ∩ N(b)|
+    counted via wedges (both endpoints adjacent to a shared center),
+    jaccard_ppm = floor(10⁶ · common / (deg(a) + deg(b) − common)) in
+    exact integers. Degrees are FULL-graph; only wedge CENTERS are
+    degree-capped (hot hubs would emit O(deg²) pairs — excluded and
+    mirrored by the SQL twin, like ENTITY_PAIR_DOC_CAP).
+
+    Three keyed exchanges at scale: center co-location (pair emission),
+    pair-keyed common-count sum, then two degree attaches via the
+    two-sided union pattern (degree tables are corpus-sized — never a
+    driver-side lookup)."""
+    from hebrew_ner_ray.ops.shuffle import (
+        _arrow_clean,
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    und = _distinct_undirected(edges_ds).materialize()
+    deg = _degrees(und).materialize()  # (node, d)
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas")
+
+    _PAIR = {"a_id": "int64", "b_id": "int64", "common": "int64"}
+
+    def wedge_pairs(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_PAIR)
+        rows_a, rows_b = [], []
+        for _, grp in p.groupby("u", sort=False):
+            e = np.sort(grp["v"].to_numpy())
+            if len(e) < 2 or len(e) > deg_cap:
+                continue
+            i, j = np.triu_indices(len(e), k=1)
+            rows_a.append(e[i])
+            rows_b.append(e[j])
+        if not rows_a:
+            return typed_empty(_PAIR)
+        out = (pd.DataFrame({"a_id": np.concatenate(rows_a),
+                             "b_id": np.concatenate(rows_b)})
+               .groupby(["a_id", "b_id"], as_index=False).size()
+               .rename(columns={"size": "common"}))
+        return out[list(_PAIR)].astype(_PAIR)
+
+    wp = bucketed_aggregate(sym, ["u"], wedge_pairs,
+                            coalesce=partitions_for())
+
+    def sum_common(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_PAIR)
+        return (g.groupby(["a_id", "b_id"], as_index=False)
+                .agg(common=("common", "sum"))[list(_PAIR)].astype(_PAIR))
+
+    pairs = bucketed_aggregate(wp, ["a_id", "b_id"], sum_common,
+                               coalesce=partitions_for())
+
+    # attach deg(a) then deg(b): pair rows and degree rows share one
+    # exchange key per pass (the two-sided union idiom)
+    def _attach(pairs_ds, key_col, out_col):
+        _AT = {"k": "int64", "a_id": "int64", "b_id": "int64",
+               "common": "int64", "da": "int64", "db": "int64",
+               "d": "int64", "side": "int64"}
+
+        def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            out = {"k": b[key_col].to_numpy(dtype=np.int64),
+                   "a_id": b["a_id"].to_numpy(dtype=np.int64),
+                   "b_id": b["b_id"].to_numpy(dtype=np.int64),
+                   "common": b["common"].to_numpy(dtype=np.int64),
+                   "da": (b["da"].to_numpy(dtype=np.int64)
+                          if "da" in b.columns
+                          else np.zeros(n, dtype=np.int64)),
+                   "db": np.zeros(n, dtype=np.int64),
+                   "d": np.zeros(n, dtype=np.int64),
+                   "side": np.ones(n, dtype=np.int64)}
+            return pd.DataFrame(out).astype(_AT)
+
+        def deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            z = np.zeros(n, dtype=np.int64)
+            return pd.DataFrame(
+                {"k": b["node"].to_numpy(dtype=np.int64),
+                 "a_id": z, "b_id": z, "common": z, "da": z, "db": z,
+                 "d": b["d"].to_numpy(dtype=np.int64),
+                 "side": z}).astype(_AT)
+
+        def join(p: pd.DataFrame) -> pd.DataFrame:
+            cols = ["a_id", "b_id", "common", "da", "db"]
+            if p.empty:
+                return typed_empty({c: "int64" for c in cols})
+            dd = p[p["side"] == 0][["k", "d"]]
+            pr = p[p["side"] == 1].drop(columns=["d"])
+            m = pr.merge(dd, on="k", how="left")
+            m[out_col] = m["d"].fillna(0).astype("int64")
+            return m[cols].astype({c: "int64" for c in cols})
+
+        u = pairs_ds.map_batches(pair_rows, batch_format="pandas").union(
+            deg.map_batches(deg_rows, batch_format="pandas"))
+        return bucketed_aggregate(u, ["k"], join,
+                                  coalesce=partitions_for())
+
+    with_da = _attach(pairs.map_batches(
+        lambda b: b.assign(da=np.zeros(len(b), dtype=np.int64)),
+        batch_format="pandas"), "a_id", "da")
+    with_db = _attach(with_da, "b_id", "db")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return typed_empty(_NSIM_COLS)
+        c = b["common"].to_numpy(dtype=np.int64)
+        den = (b["da"].to_numpy(dtype=np.int64)
+               + b["db"].to_numpy(dtype=np.int64) - c)
+        b = b.assign(jaccard_ppm=(1_000_000 * c) // np.maximum(den, 1))
+        return b[list(_NSIM_COLS)].astype(_NSIM_COLS)
+
+    out = with_db.map_batches(finish, batch_format="pandas")
+    return (_arrow_clean(out).sort(["a_id", "b_id"]) if sort else out)
+
+
 _COMP_COLS = {"entity_id": "int64", "component_id": "int64"}
 
 

@@ -1507,6 +1507,47 @@ def test_pricing_summary_cutoff_boundary_non_midnight(ray_session, tmp_path):
     assert int(out["sum_qty"].iloc[0]) == int(want)
 
 
+def test_node_similarity_known_graphs(ray_session):
+    """Star a-{b,c,d}: each leaf pair shares exactly center a; leaves
+    have degree 1 → jaccard 1/(1+1-1) = 1.0 (10⁶ ppm). The center
+    itself pairs with nobody (no shared neighbor)."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import node_similarity
+
+    e = pd.DataFrame({"subj_id": [1, 1, 1], "obj_id": [2, 3, 4],
+                      "pred": ["p"] * 3, "weight": [1] * 3})
+    out = node_similarity(ray.data.from_pandas(e)).to_pandas()
+    assert out.to_dict("records") == [
+        {"a_id": 2, "b_id": 3, "common": 1, "jaccard_ppm": 1_000_000},
+        {"a_id": 2, "b_id": 4, "common": 1, "jaccard_ppm": 1_000_000},
+        {"a_id": 3, "b_id": 4, "common": 1, "jaccard_ppm": 1_000_000}]
+    # square 1-2-3-4-1: opposite corners share BOTH neighbors
+    # (common=2, deg 2+2-2=2 → ppm 1_000_000); adjacent corners share
+    # none and must not appear
+    e2 = pd.DataFrame({"subj_id": [1, 2, 3, 4], "obj_id": [2, 3, 4, 1],
+                       "pred": ["p"] * 4, "weight": [1] * 4})
+    out2 = node_similarity(ray.data.from_pandas(e2)).to_pandas()
+    assert out2.to_dict("records") == [
+        {"a_id": 1, "b_id": 3, "common": 2, "jaccard_ppm": 1_000_000},
+        {"a_id": 2, "b_id": 4, "common": 2, "jaccard_ppm": 1_000_000}]
+
+
+def test_node_similarity_degree_cap_excludes_hub(ray_session):
+    """A hub above the center cap emits NO wedge pairs (its leaves
+    vanish from the result), exactly as the SQL twin's predicate."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import node_similarity
+
+    hub = pd.DataFrame({"subj_id": [100] * 5,
+                        "obj_id": [1, 2, 3, 4, 5],
+                        "pred": ["p"] * 5, "weight": [1] * 5})
+    out = node_similarity(ray.data.from_pandas(hub),
+                          deg_cap=4).to_pandas()
+    assert out.empty
+
+
 def test_pagerank_eps_converges_to_fixed_round(ray_session):
     """Iterate-to-epsilon must stop at the FIRST round whose max delta
     crosses the threshold, and its ranks must equal the fixed-round
