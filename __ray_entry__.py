@@ -82,6 +82,12 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         return node_similarity(build_edges(annotated(sf_dir, "triples"),
                                            sort=False))
 
+    def kg_clustering_coefficient(sf_dir: str):
+        from hebrew_ner_ray.kg.graphstats import clustering_coefficient
+
+        return clustering_coefficient(
+            build_edges(annotated(sf_dir, "triples"), sort=False))
+
     def kg_components(sf_dir: str):
         from hebrew_ner_ray.kg.graphstats import components
 
@@ -268,6 +274,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_pagerank_eps": kg_pagerank_eps,
         "kg_node_similarity": kg_node_similarity,
+        "kg_clustering_coefficient": kg_clustering_coefficient,
         "kg_components": kg_components,
         "kg_bfs_depths": kg_bfs_depths,
         "kg_shortest_paths": kg_shortest_paths,
@@ -312,6 +319,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_pagerank": o.sql_pagerank(),
         "kg_pagerank_eps": o.sql_pagerank_eps(),
         "kg_node_similarity": o.sql_node_similarity(),
+        "kg_clustering_coefficient": o.sql_clustering_coefficient(),
         "kg_components": o.sql_components(),
         "kg_bfs_depths": o.sql_bfs_depths(),
         "kg_shortest_paths": o.sql_shortest_paths(),

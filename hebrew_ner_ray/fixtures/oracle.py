@@ -545,6 +545,41 @@ ORDER BY a_id, b_id
 """
 
 
+def sql_clustering_coefficient(deg_cap: int = 64) -> str:
+    """Twin of kg/graphstats.clustering_coefficient: closed wedges per
+    center against the distinct undirected edge set, eligibility
+    2 ≤ degree ≤ cap, zero-triangle nodes kept via LEFT JOIN, exact
+    integer ppm. CTEs materialized (sym/deg referenced repeatedly)."""
+    return f"""WITH eg AS MATERIALIZED (
+{sql_edges()}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b
+  FROM eg WHERE subj_id <> obj_id
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+w AS MATERIALIZED (
+  SELECT s1.u AS center, s1.v AS x, s2.v AS y
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  JOIN deg dc ON dc.node = s1.u
+  WHERE dc.d >= 2 AND dc.d <= {deg_cap}
+),
+t AS MATERIALIZED (
+  SELECT w.center, CAST(count(*) AS BIGINT) AS triangles
+  FROM w JOIN und e ON e.a = w.x AND e.b = w.y
+  GROUP BY 1
+)
+SELECT d.node AS entity_id,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST((2000000 * coalesce(t.triangles, 0)) // (d.d * (d.d - 1))
+            AS BIGINT) AS coeff_ppm
+FROM deg d LEFT JOIN t ON t.center = d.node
+WHERE d.d >= 2 AND d.d <= {deg_cap}
+ORDER BY entity_id
+"""
+
+
 def sql_components() -> str:
     """Weakly connected components of the undirected entity graph —
     recursive transitive closure, min reachable id per node (the exact

@@ -624,6 +624,143 @@ def node_similarity(edges_ds, deg_cap: int = NODE_SIM_DEG_CAP,
     return (_arrow_clean(out).sort(["a_id", "b_id"]) if sort else out)
 
 
+_CCOEF_COLS = {"entity_id": "int64", "triangles": "int64",
+               "coeff_ppm": "int64"}
+
+
+def clustering_coefficient(edges_ds, deg_cap: int = NODE_SIM_DEG_CAP,
+                           sort: bool = True):
+    """Per-node LOCAL clustering coefficient: triangles(v) = closed
+    wedges centered at v, coeff_ppm = floor(2·10⁶ · t(v) / (d(v)·(d(v)−1)))
+    — the node-level companion to triangle_stats' global transitivity.
+    Output covers every node with 2 ≤ degree ≤ deg_cap (the wedge-center
+    cap against quadratic hub blowup, mirrored by the SQL twin's
+    predicate), INCLUDING zero-triangle nodes.
+
+    Exchanges at scale: center co-location (wedge emission), one
+    (x, y)-keyed exchange closing wedges against the edge set, a
+    center-keyed partial sum, and the eligibility/degree attach via the
+    two-sided union pattern."""
+    from hebrew_ner_ray.ops.shuffle import (
+        _arrow_clean,
+        bucketed_aggregate,
+        partitions_for,
+        typed_empty,
+    )
+
+    und = _distinct_undirected(edges_ds).materialize()
+    deg = _degrees(und).materialize()
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    sym = und.map_batches(to_sym, batch_format="pandas")
+
+    _W = {"x": "int64", "y": "int64", "center": "int64", "side": "int64"}
+
+    def wedge_rows(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_W)
+        xs, ys, cs = [], [], []
+        for u, grp in p.groupby("u", sort=False):
+            e = np.sort(grp["v"].to_numpy())
+            if len(e) < 2 or len(e) > deg_cap:
+                continue
+            i, j = np.triu_indices(len(e), k=1)
+            xs.append(e[i])
+            ys.append(e[j])
+            cs.append(np.full(len(i), u, dtype=np.int64))
+        if not xs:
+            return typed_empty(_W)
+        n = sum(len(x) for x in xs)
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "center": np.concatenate(cs),
+                             "side": np.zeros(n, dtype=np.int64)
+                             }).astype(_W)
+
+    wedges = bucketed_aggregate(sym, ["u"], wedge_rows,
+                                coalesce=partitions_for())
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({"x": b["a"].to_numpy(dtype=np.int64),
+                             "y": b["b"].to_numpy(dtype=np.int64),
+                             "center": np.zeros(n, dtype=np.int64),
+                             "side": np.ones(n, dtype=np.int64)
+                             }).astype(_W)
+
+    _T = {"center": "int64", "triangles": "int64"}
+
+    def close_wedges(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_T)
+        e = p[p["side"] == 1][["x", "y"]]
+        w = p[p["side"] == 0][["x", "y", "center"]]
+        m = w.merge(e, on=["x", "y"])
+        if m.empty:
+            return typed_empty(_T)
+        return (m.groupby("center", as_index=False).size()
+                .rename(columns={"size": "triangles"})[list(_T)]
+                .astype(_T))
+
+    closed = bucketed_aggregate(
+        wedges.union(und.map_batches(edge_rows, batch_format="pandas")),
+        ["x", "y"], close_wedges, coalesce=partitions_for())
+
+    def sum_t(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return typed_empty(_T)
+        return (g.groupby("center", as_index=False)
+                .agg(triangles=("triangles", "sum"))[list(_T)].astype(_T))
+
+    t_per_center = bucketed_aggregate(closed, ["center"], sum_t,
+                                      coalesce=partitions_for())
+
+    # eligibility join: all nodes with 2 ≤ d ≤ cap, t = 0 when absent
+    _J = {"node": "int64", "d": "int64", "t": "int64", "side": "int64"}
+
+    def deg_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["d"] >= 2) & (b["d"] <= deg_cap)]
+        n = len(b)
+        return pd.DataFrame({"node": b["node"].to_numpy(dtype=np.int64),
+                             "d": b["d"].to_numpy(dtype=np.int64),
+                             "t": np.zeros(n, dtype=np.int64),
+                             "side": np.zeros(n, dtype=np.int64)
+                             }).astype(_J)
+
+    def t_side(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({"node": b["center"].to_numpy(dtype=np.int64),
+                             "d": np.zeros(n, dtype=np.int64),
+                             "t": b["triangles"].to_numpy(dtype=np.int64),
+                             "side": np.ones(n, dtype=np.int64)
+                             }).astype(_J)
+
+    def finish(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return typed_empty(_CCOEF_COLS)
+        dd = p[p["side"] == 0][["node", "d"]]
+        tt = p[p["side"] == 1][["node", "t"]]
+        m = dd.merge(tt, on="node", how="left")
+        t = m["t"].fillna(0).to_numpy(dtype=np.int64)
+        d = m["d"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "entity_id": m["node"].to_numpy(dtype=np.int64),
+            "triangles": t,
+            "coeff_ppm": (2_000_000 * t) // (d * (d - 1)),
+        }).astype(_CCOEF_COLS)
+
+    out = bucketed_aggregate(
+        deg.map_batches(deg_side, batch_format="pandas").union(
+            t_per_center.map_batches(t_side, batch_format="pandas")),
+        ["node"], finish, coalesce=partitions_for())
+    return _arrow_clean(out).sort("entity_id") if sort else out
+
+
 _COMP_COLS = {"entity_id": "int64", "component_id": "int64"}
 
 

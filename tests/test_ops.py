@@ -1548,6 +1548,30 @@ def test_node_similarity_degree_cap_excludes_hub(ray_session):
     assert out.empty
 
 
+def test_clustering_coefficient_known_graphs(ray_session):
+    """Triangle 1-2-3 plus pendant 3-4: nodes 1,2 have d=2 and one
+    triangle → coeff 1.0; node 3 has d=3, one triangle of three
+    possible → 1/3; node 4 (d=1) is ineligible. A square (no
+    triangles) yields all-zero coefficients but keeps every node."""
+    import ray.data
+
+    from hebrew_ner_ray.kg.graphstats import clustering_coefficient
+
+    e = pd.DataFrame({"subj_id": [1, 2, 1, 3], "obj_id": [2, 3, 3, 4],
+                      "pred": ["p"] * 4, "weight": [1] * 4})
+    out = clustering_coefficient(ray.data.from_pandas(e)).to_pandas()
+    assert out.to_dict("records") == [
+        {"entity_id": 1, "triangles": 1, "coeff_ppm": 1_000_000},
+        {"entity_id": 2, "triangles": 1, "coeff_ppm": 1_000_000},
+        {"entity_id": 3, "triangles": 1, "coeff_ppm": 333_333}]
+    sq = pd.DataFrame({"subj_id": [1, 2, 3, 4], "obj_id": [2, 3, 4, 1],
+                       "pred": ["p"] * 4, "weight": [1] * 4})
+    out2 = clustering_coefficient(ray.data.from_pandas(sq)).to_pandas()
+    assert out2["triangles"].tolist() == [0, 0, 0, 0]
+    assert out2["coeff_ppm"].tolist() == [0, 0, 0, 0]
+    assert out2["entity_id"].tolist() == [1, 2, 3, 4]
+
+
 def test_pagerank_eps_converges_to_fixed_round(ray_session):
     """Iterate-to-epsilon must stop at the FIRST round whose max delta
     crosses the threshold, and its ranks must equal the fixed-round
